@@ -1,0 +1,26 @@
+"""Test config: force CPU with 8 virtual devices (multi-chip sharding tests)
+and enable x64 so kernels can be validated against f64 finite differences,
+matching the reference's double-precision Ceres semantics.
+
+NOTE: the axon sitecustomize imports jax at interpreter startup with
+JAX_PLATFORMS=axon, so plain env vars are too late here — we must use
+jax.config.update to redirect to CPU before any backend initializes.
+Otherwise every test compilation round-trips through the TPU tunnel.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert len(jax.devices()) >= 8 or True  # virtual device count best-effort
