@@ -1,0 +1,12 @@
+from obvi_slam_tpu.solver.schur import (  # noqa: F401
+    FactorWeights,
+    SchurPlan,
+    build_schur_plan,
+    compute_step,
+    ones_weights,
+)
+from obvi_slam_tpu.solver.lm import (  # noqa: F401
+    LMParams,
+    LMSummary,
+    solve,
+)

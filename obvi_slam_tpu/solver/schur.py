@@ -1,0 +1,559 @@
+"""On-device Schur-complement normal equations for object-visual BA.
+
+TPU-native replacement for Ceres' SPARSE_SCHUR linear solver
+(``object_pose_graph_optimizer.h:652-666`` selects
+``ceres::SPARSE_SCHUR`` + LM): landmarks (3-D feature points) and objects
+(7-dof ellipsoids) are eliminated via batched small-block inverses, and the
+reduced camera (pose) system is materialized DENSE — pose counts are
+10^2–10^3, so the reduced system maps onto MXU-friendly dense algebra instead
+of the reference's CPU sparse factorization.
+
+Data-dependent structure (which pose observes which landmark) is precomputed
+on the host into a ``SchurPlan`` of gather/scatter index arrays; the on-device
+computation is then a fixed-shape pipeline of vmapped block ops, segment-sums
+and scatter-adds that XLA fuses:
+
+  residuals+J (vmapped jacfwd) -> Huber row-weights -> block H/b accumulation
+  -> batched 3x3/7x7 inverses -> cross-pair outer products -> dense S
+  -> Cholesky/LU solve -> back-substitution.
+
+The plan depends only on factor *indices* (not values), so it is rebuilt on
+host only when the window's factor set changes, and padded to bucketed
+capacities to keep jit signatures stable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from obvi_slam_tpu import factors as fac
+from obvi_slam_tpu.types import BAState, CameraBundle, FactorTables, FreeMasks
+
+
+class FactorWeights(NamedTuple):
+    """Per-residual-block external weights (1 = keep, 0 = excluded outlier).
+
+    Implements the two-phase outlier exclusion
+    (offline_problem_runner.h:670-801) without rebuilding the problem: an
+    excluded factor keeps its table row but contributes nothing.
+    """
+
+    reproj: jnp.ndarray  # (F,)
+    bbox: jnp.ndarray  # (B,)
+
+
+def ones_weights(tables: FactorTables, dtype=jnp.float64):
+    return FactorWeights(
+        reproj=jnp.ones(tables.reproj.capacity, dtype=dtype),
+        bbox=jnp.ones(tables.bbox.capacity, dtype=dtype),
+    )
+
+
+class HuberParams(NamedTuple):
+    """Loss scale per family (config residual params; base7a values)."""
+
+    reproj: float = 1.0
+    bbox: float = 0.5
+    shape: float = 10.0
+    relpose: float = 1.0
+    ltm: float = 1.0
+    invalid_ellipse_error: float = 1e6
+
+
+class SchurPlan(NamedTuple):
+    """Host-precomputed sparsity plan. All arrays padded; masks mark live rows.
+
+    "Pairs" are unique (pose, landmark) combinations with at least one factor;
+    "cross" rows enumerate ordered pairs (a, b) of pair-rows sharing a
+    landmark — each contributes the -W_a Hll^-1 W_b^T block of the Schur
+    complement at S[pose_a, pose_b].
+    """
+
+    # Feature points (from reprojection factors).
+    rp_factor_pair: jnp.ndarray  # (F,) factor row -> point-pair row
+    pt_pair_pose: jnp.ndarray  # (Np,)
+    pt_pair_point: jnp.ndarray  # (Np,)
+    pt_pair_mask: jnp.ndarray  # (Np,)
+    pt_cross_a: jnp.ndarray  # (Ncp,)
+    pt_cross_b: jnp.ndarray  # (Ncp,)
+    pt_cross_mask: jnp.ndarray  # (Ncp,)
+    # Objects (from bounding-box factors).
+    bb_factor_pair: jnp.ndarray  # (B,) factor row -> object-pair row
+    ob_pair_pose: jnp.ndarray  # (No,)
+    ob_pair_obj: jnp.ndarray  # (No,)
+    ob_pair_mask: jnp.ndarray  # (No,)
+    ob_cross_a: jnp.ndarray  # (Nco,)
+    ob_cross_b: jnp.ndarray  # (Nco,)
+    ob_cross_mask: jnp.ndarray  # (Nco,)
+
+
+def _round_up(n, bucket=64):
+    return max(bucket, int(np.ceil(n / bucket)) * bucket)
+
+
+def _build_pairs(block_idx, land_idx, mask, pair_cap=None, cross_cap=None):
+    """Unique (pose, landmark) pairs and the per-landmark ordered cross pairs."""
+    live = np.nonzero(mask)[0]
+    keys = np.stack([block_idx[live], land_idx[live]], axis=1)
+    if len(live) == 0:
+        uniq = np.zeros((0, 2), dtype=np.int64)
+        inv = np.zeros((0,), dtype=np.int64)
+    else:
+        uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    n_pairs = len(uniq)
+    factor_pair = np.zeros(len(block_idx), dtype=np.int32)
+    factor_pair[live] = inv.astype(np.int32)
+
+    # Ordered cross pairs per landmark.
+    cross_a, cross_b = [], []
+    if n_pairs:
+        order = np.argsort(uniq[:, 1], kind="stable")
+        sorted_land = uniq[order, 1]
+        boundaries = np.nonzero(np.diff(sorted_land))[0] + 1
+        groups = np.split(order, boundaries)
+        for g in groups:
+            # all ordered pairs within the landmark's observing-pose set
+            a, b = np.meshgrid(g, g, indexing="ij")
+            cross_a.append(a.ravel())
+            cross_b.append(b.ravel())
+    cross_a = np.concatenate(cross_a) if cross_a else np.zeros(0, dtype=np.int64)
+    cross_b = np.concatenate(cross_b) if cross_b else np.zeros(0, dtype=np.int64)
+
+    pair_cap = pair_cap or _round_up(n_pairs)
+    cross_cap = cross_cap or _round_up(len(cross_a))
+
+    def pad_i(x, cap):
+        out = np.zeros(cap, dtype=np.int32)
+        out[: len(x)] = x
+        return out
+
+    pair_mask = np.zeros(pair_cap, dtype=bool)
+    pair_mask[:n_pairs] = True
+    cross_mask = np.zeros(cross_cap, dtype=bool)
+    cross_mask[: len(cross_a)] = True
+    return (
+        factor_pair,
+        pad_i(uniq[:, 0] if n_pairs else [], pair_cap),
+        pad_i(uniq[:, 1] if n_pairs else [], pair_cap),
+        pair_mask,
+        pad_i(cross_a, cross_cap),
+        pad_i(cross_b, cross_cap),
+        cross_mask,
+    )
+
+
+def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
+    """Host-side plan construction from (numpy views of) the factor tables.
+
+    ``caps``: optional dict with keys pt_pair/pt_cross/ob_pair/ob_cross to pin
+    capacities (for jit-signature bucketing)."""
+    caps = caps or {}
+    rp = tables.reproj
+    (
+        rp_factor_pair,
+        pt_pair_pose,
+        pt_pair_point,
+        pt_pair_mask,
+        pt_cross_a,
+        pt_cross_b,
+        pt_cross_mask,
+    ) = _build_pairs(
+        np.asarray(rp.pose_idx),
+        np.asarray(rp.point_idx),
+        np.asarray(rp.mask),
+        caps.get("pt_pair"),
+        caps.get("pt_cross"),
+    )
+    bb = tables.bbox
+    (
+        bb_factor_pair,
+        ob_pair_pose,
+        ob_pair_obj,
+        ob_pair_mask,
+        ob_cross_a,
+        ob_cross_b,
+        ob_cross_mask,
+    ) = _build_pairs(
+        np.asarray(bb.pose_idx),
+        np.asarray(bb.obj_idx),
+        np.asarray(bb.mask),
+        caps.get("ob_pair"),
+        caps.get("ob_cross"),
+    )
+    return SchurPlan(
+        rp_factor_pair=jnp.asarray(rp_factor_pair),
+        pt_pair_pose=jnp.asarray(pt_pair_pose),
+        pt_pair_point=jnp.asarray(pt_pair_point),
+        pt_pair_mask=jnp.asarray(pt_pair_mask),
+        pt_cross_a=jnp.asarray(pt_cross_a),
+        pt_cross_b=jnp.asarray(pt_cross_b),
+        pt_cross_mask=jnp.asarray(pt_cross_mask),
+        bb_factor_pair=jnp.asarray(bb_factor_pair),
+        ob_pair_pose=jnp.asarray(ob_pair_pose),
+        ob_pair_obj=jnp.asarray(ob_pair_obj),
+        ob_pair_mask=jnp.asarray(ob_pair_mask),
+        ob_cross_a=jnp.asarray(ob_cross_a),
+        ob_cross_b=jnp.asarray(ob_cross_b),
+        ob_cross_mask=jnp.asarray(ob_cross_mask),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Assembly + solve (fully on device, jit-able).
+# ---------------------------------------------------------------------------
+
+# Ceres LevenbergMarquardtStrategy diagonal clamping.
+_MIN_DIAG = 1e-6
+_MAX_DIAG = 1e32
+
+
+def _block_weight(r, delta, ext_weight, mask):
+    """sqrt(rho') * external weight * mask — row scale for r and J."""
+    s = jnp.sum(r * r, axis=-1)
+    w = fac.huber_sqrt_weight(s, delta)
+    return w * ext_weight * mask
+
+
+def _weighted(r, j_list, w):
+    rw = r * w[:, None]
+    jw = [j * w[:, None, None] for j in j_list]
+    return rw, jw
+
+
+def compute_step(
+    state: BAState,
+    cams: CameraBundle,
+    tables: FactorTables,
+    plan: SchurPlan,
+    free: FreeMasks,
+    weights: FactorWeights,
+    radius,
+    huber: HuberParams = HuberParams(),
+):
+    """One damped Gauss-Newton (LM) step.
+
+    Returns (delta_state: BAState, model_cost_change, grad_max).
+    The trust-region radius enters as Ceres' LM damping
+    H + diag(clamp(diag(H))) / radius.
+    """
+    dtype = state.poses.dtype
+    n_pose = state.poses.shape[0]
+    n_point = state.points.shape[0]
+    n_obj = state.objects.shape[0]
+
+    pose_free = free.poses.astype(dtype)
+    point_free = free.points.astype(dtype)
+    obj_free = free.objects.astype(dtype)
+
+    # ---- residuals + jacobians, robustified ------------------------------
+    r_rp, j_rp_pose, j_rp_point = fac.reproj_residuals_and_jac(state, cams, tables.reproj)
+    w_rp = _block_weight(
+        r_rp, huber.reproj, weights.reproj, tables.reproj.mask.astype(dtype)
+    )
+    r_rp, (j_rp_pose, j_rp_point) = _weighted(r_rp, [j_rp_pose, j_rp_point], w_rp)
+    j_rp_pose = j_rp_pose * pose_free[tables.reproj.pose_idx][:, None, None]
+    j_rp_point = j_rp_point * point_free[tables.reproj.point_idx][:, None, None]
+
+    r_bb, j_bb_obj, j_bb_pose = fac.bbox_residuals_and_jac(
+        state, cams, tables.bbox, huber.invalid_ellipse_error
+    )
+    w_bb = _block_weight(r_bb, huber.bbox, weights.bbox, tables.bbox.mask.astype(dtype))
+    r_bb, (j_bb_obj, j_bb_pose) = _weighted(r_bb, [j_bb_obj, j_bb_pose], w_bb)
+    j_bb_obj = j_bb_obj * obj_free[tables.bbox.obj_idx][:, None, None]
+    j_bb_pose = j_bb_pose * pose_free[tables.bbox.pose_idx][:, None, None]
+
+    r_sh, j_sh = fac.shape_residuals_and_jac(state, tables.shape)
+    w_sh = _block_weight(
+        r_sh, huber.shape, jnp.ones_like(r_sh[:, 0]), tables.shape.mask.astype(dtype)
+    )
+    r_sh, (j_sh,) = _weighted(r_sh, [j_sh], w_sh)
+    j_sh = j_sh * obj_free[tables.shape.obj_idx][:, None, None]
+
+    r_rl, j_rl_b, j_rl_a = fac.relpose_residuals_and_jac(state, tables.relpose)
+    w_rl = _block_weight(
+        r_rl, huber.relpose, jnp.ones_like(r_rl[:, 0]), tables.relpose.mask.astype(dtype)
+    )
+    r_rl, (j_rl_b, j_rl_a) = _weighted(r_rl, [j_rl_b, j_rl_a], w_rl)
+    j_rl_b = j_rl_b * pose_free[tables.relpose.before_idx][:, None, None]
+    j_rl_a = j_rl_a * pose_free[tables.relpose.after_idx][:, None, None]
+
+    r_lt, j_lt = fac.ltm_residuals_and_jac(state, tables.ltm)
+    w_lt = _block_weight(
+        r_lt, huber.ltm, jnp.ones_like(r_lt[:, 0]), tables.ltm.mask.astype(dtype)
+    )
+    r_lt, (j_lt,) = _weighted(r_lt, [j_lt], w_lt)
+    j_lt = j_lt * obj_free[tables.ltm.obj_idx][:, None, None]
+
+    # Scalar param priors (no Huber in reference).
+    pp = tables.param_prior
+    r_pp = fac.param_prior_residuals(state, pp)
+
+    # ---- landmark blocks -------------------------------------------------
+    # H_ll (M,3,3), b_l (M,3) from reprojection factors.
+    h_ll = jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_rp_point, j_rp_point),
+        tables.reproj.point_idx,
+        num_segments=n_point,
+    )
+    b_l = -jax.ops.segment_sum(
+        jnp.einsum("fri,fr->fi", j_rp_point, r_rp),
+        tables.reproj.point_idx,
+        num_segments=n_point,
+    )
+    # H_oo (K,7,7), b_o from bbox + shape + ltm (+ object param priors below).
+    h_oo = jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_bb_obj, j_bb_obj),
+        tables.bbox.obj_idx,
+        num_segments=n_obj,
+    )
+    h_oo += jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_sh, j_sh), tables.shape.obj_idx, num_segments=n_obj
+    )
+    h_oo += jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_lt, j_lt), tables.ltm.obj_idx, num_segments=n_obj
+    )
+    b_o = -jax.ops.segment_sum(
+        jnp.einsum("fri,fr->fi", j_bb_obj, r_bb), tables.bbox.obj_idx, num_segments=n_obj
+    )
+    b_o += -jax.ops.segment_sum(
+        jnp.einsum("fri,fr->fi", j_sh, r_sh), tables.shape.obj_idx, num_segments=n_obj
+    )
+    b_o += -jax.ops.segment_sum(
+        jnp.einsum("fri,fr->fi", j_lt, r_lt), tables.ltm.obj_idx, num_segments=n_obj
+    )
+
+    # ---- pose blocks -----------------------------------------------------
+    h_pp = jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_rp_pose, j_rp_pose),
+        tables.reproj.pose_idx,
+        num_segments=n_pose,
+    )
+    h_pp += jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_bb_pose, j_bb_pose),
+        tables.bbox.pose_idx,
+        num_segments=n_pose,
+    )
+    h_pp += jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_rl_b, j_rl_b),
+        tables.relpose.before_idx,
+        num_segments=n_pose,
+    )
+    h_pp += jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_rl_a, j_rl_a),
+        tables.relpose.after_idx,
+        num_segments=n_pose,
+    )
+    b_p = -jax.ops.segment_sum(
+        jnp.einsum("fri,fr->fi", j_rp_pose, r_rp),
+        tables.reproj.pose_idx,
+        num_segments=n_pose,
+    )
+    b_p += -jax.ops.segment_sum(
+        jnp.einsum("fri,fr->fi", j_bb_pose, r_bb),
+        tables.bbox.pose_idx,
+        num_segments=n_pose,
+    )
+    b_p += -jax.ops.segment_sum(
+        jnp.einsum("fri,fr->fi", j_rl_b, r_rl),
+        tables.relpose.before_idx,
+        num_segments=n_pose,
+    )
+    b_p += -jax.ops.segment_sum(
+        jnp.einsum("fri,fr->fi", j_rl_a, r_rl),
+        tables.relpose.after_idx,
+        num_segments=n_pose,
+    )
+
+    # ---- scalar param priors into diagonals ------------------------------
+    pp_live = pp.mask.astype(dtype)
+    pp_w2 = (pp.inv_std * pp.inv_std) * pp_live
+    is_pose = (pp.block_kind == 0).astype(dtype) * pose_free[
+        jnp.clip(pp.block_idx, 0, n_pose - 1)
+    ]
+    is_point = (pp.block_kind == 1).astype(dtype) * point_free[
+        jnp.clip(pp.block_idx, 0, n_point - 1)
+    ]
+    is_obj = (pp.block_kind == 2).astype(dtype) * obj_free[
+        jnp.clip(pp.block_idx, 0, n_obj - 1)
+    ]
+    pose_pi = jnp.clip(pp.param_idx, 0, 5)
+    point_pi = jnp.clip(pp.param_idx, 0, 2)
+    obj_pi = jnp.clip(pp.param_idx, 0, 6)
+    h_pp = h_pp.at[
+        jnp.clip(pp.block_idx, 0, n_pose - 1), pose_pi, pose_pi
+    ].add(pp_w2 * is_pose)
+    h_ll = h_ll.at[
+        jnp.clip(pp.block_idx, 0, n_point - 1), point_pi, point_pi
+    ].add(pp_w2 * is_point)
+    h_oo = h_oo.at[
+        jnp.clip(pp.block_idx, 0, n_obj - 1), obj_pi, obj_pi
+    ].add(pp_w2 * is_obj)
+    grad_pp = pp.inv_std * r_pp * pp_live
+    b_p = b_p.at[jnp.clip(pp.block_idx, 0, n_pose - 1), pose_pi].add(
+        -grad_pp * is_pose
+    )
+    b_l = b_l.at[jnp.clip(pp.block_idx, 0, n_point - 1), point_pi].add(
+        -grad_pp * is_point
+    )
+    b_o = b_o.at[jnp.clip(pp.block_idx, 0, n_obj - 1), obj_pi].add(-grad_pp * is_obj)
+
+    # ---- gradient max (for Ceres gradient_tolerance check) ---------------
+    grad_max = jnp.maximum(
+        jnp.max(jnp.abs(b_p)), jnp.maximum(jnp.max(jnp.abs(b_l)), jnp.max(jnp.abs(b_o)))
+    )
+
+    # ---- LM damping: H += diag(clamp(diag(H))) / radius ------------------
+    inv_radius = 1.0 / radius
+
+    def damp(h):
+        d = jnp.clip(
+            jnp.diagonal(h, axis1=-2, axis2=-1), _MIN_DIAG, _MAX_DIAG
+        )
+        n = h.shape[-1]
+        return h + (d * inv_radius)[..., :, None] * jnp.eye(n, dtype=dtype)
+
+    h_ll_d = damp(h_ll)
+    h_oo_d = damp(h_oo)
+    h_pp_d = damp(h_pp)
+
+    # Guard: fixed/unobserved landmark blocks -> identity (delta stays 0
+    # because their b is 0 and W rows are 0).
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye7 = jnp.eye(7, dtype=dtype)
+    ll_singular = jnp.abs(jnp.diagonal(h_ll, axis1=-2, axis2=-1)).sum(-1) < 1e-12
+    oo_singular = jnp.abs(jnp.diagonal(h_oo, axis1=-2, axis2=-1)).sum(-1) < 1e-12
+    h_ll_d = jnp.where(ll_singular[:, None, None], eye3, h_ll_d)
+    h_oo_d = jnp.where(oo_singular[:, None, None], eye7, h_oo_d)
+    h_ll_inv = jnp.linalg.inv(h_ll_d)
+    h_oo_inv = jnp.linalg.inv(h_oo_d)
+
+    # ---- W pair blocks ---------------------------------------------------
+    n_pt_pair = plan.pt_pair_pose.shape[0]
+    w_pt = jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_rp_pose, j_rp_point),
+        plan.rp_factor_pair,
+        num_segments=n_pt_pair,
+    )  # (Np, 6, 3)
+    w_pt = w_pt * plan.pt_pair_mask[:, None, None].astype(dtype)
+    n_ob_pair = plan.ob_pair_pose.shape[0]
+    w_ob = jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_bb_pose, j_bb_obj),
+        plan.bb_factor_pair,
+        num_segments=n_ob_pair,
+    )  # (No, 6, 7)
+    w_ob = w_ob * plan.ob_pair_mask[:, None, None].astype(dtype)
+
+    # ---- dense reduced camera system S -----------------------------------
+    s_blocks = jnp.zeros((n_pose, n_pose, 6, 6), dtype=dtype)
+    diag_idx = jnp.arange(n_pose)
+    s_blocks = s_blocks.at[diag_idx, diag_idx].add(h_pp_d)
+    # Relpose cross terms (i != j): H_ij = J_i^T J_j.
+    rl_cross = jnp.einsum("fri,frj->fij", j_rl_b, j_rl_a)
+    s_blocks = s_blocks.at[tables.relpose.before_idx, tables.relpose.after_idx].add(
+        rl_cross
+    )
+    s_blocks = s_blocks.at[tables.relpose.after_idx, tables.relpose.before_idx].add(
+        jnp.swapaxes(rl_cross, -1, -2)
+    )
+    # Schur subtraction: -W_a Hll^-1 W_b^T over cross pairs.
+    wha_pt = jnp.einsum(
+        "cik,ckl->cil", w_pt[plan.pt_cross_a], h_ll_inv[plan.pt_pair_point[plan.pt_cross_a]]
+    )
+    cross_pt = -jnp.einsum("cil,cjl->cij", wha_pt, w_pt[plan.pt_cross_b])
+    cross_pt = cross_pt * plan.pt_cross_mask[:, None, None].astype(dtype)
+    s_blocks = s_blocks.at[
+        plan.pt_pair_pose[plan.pt_cross_a], plan.pt_pair_pose[plan.pt_cross_b]
+    ].add(cross_pt)
+    wha_ob = jnp.einsum(
+        "cik,ckl->cil", w_ob[plan.ob_cross_a], h_oo_inv[plan.ob_pair_obj[plan.ob_cross_a]]
+    )
+    cross_ob = -jnp.einsum("cil,cjl->cij", wha_ob, w_ob[plan.ob_cross_b])
+    cross_ob = cross_ob * plan.ob_cross_mask[:, None, None].astype(dtype)
+    s_blocks = s_blocks.at[
+        plan.ob_pair_pose[plan.ob_cross_a], plan.ob_pair_pose[plan.ob_cross_b]
+    ].add(cross_ob)
+
+    # Reduced RHS: b_S = b_p - sum_pairs W Hll^-1 b_l.
+    b_s = b_p
+    wb_pt = jnp.einsum(
+        "pik,pkl,pl->pi", w_pt, h_ll_inv[plan.pt_pair_point], b_l[plan.pt_pair_point]
+    )
+    b_s = b_s.at[plan.pt_pair_pose].add(-wb_pt)
+    wb_ob = jnp.einsum(
+        "pik,pkl,pl->pi", w_ob, h_oo_inv[plan.ob_pair_obj], b_o[plan.ob_pair_obj]
+    )
+    b_s = b_s.at[plan.ob_pair_pose].add(-wb_ob)
+
+    # Fixed / unconstrained poses: identity rows.
+    pose_active = (
+        jnp.abs(jnp.diagonal(h_pp, axis1=-2, axis2=-1)).sum(-1) > 1e-12
+    ) & free.poses
+    eye6 = jnp.eye(6, dtype=dtype)
+    act = pose_active.astype(dtype)
+    s_blocks = s_blocks * act[:, None, None, None] * act[None, :, None, None]
+    s_blocks = s_blocks.at[diag_idx, diag_idx].add(
+        (1.0 - act)[:, None, None] * eye6
+    )
+    b_s = b_s * act[:, None]
+
+    s_dense = s_blocks.transpose(0, 2, 1, 3).reshape(n_pose * 6, n_pose * 6)
+    delta_p = jnp.linalg.solve(s_dense, b_s.reshape(-1)).reshape(n_pose, 6)
+
+    # ---- back-substitution ----------------------------------------------
+    wt_dp_pt = jnp.einsum("pik,pi->pk", w_pt, delta_p[plan.pt_pair_pose])
+    rhs_l = b_l - jax.ops.segment_sum(
+        wt_dp_pt, plan.pt_pair_point, num_segments=n_point
+    )
+    delta_l = jnp.einsum("mkl,ml->mk", h_ll_inv, rhs_l)
+    delta_l = delta_l * (~ll_singular[:, None]) * point_free[:, None]
+    wt_dp_ob = jnp.einsum("pik,pi->pk", w_ob, delta_p[plan.ob_pair_pose])
+    rhs_o = b_o - jax.ops.segment_sum(wt_dp_ob, plan.ob_pair_obj, num_segments=n_obj)
+    delta_o = jnp.einsum("mkl,ml->mk", h_oo_inv, rhs_o)
+    delta_o = delta_o * (~oo_singular[:, None]) * obj_free[:, None]
+    delta_p = delta_p * act[:, None]
+
+    # ---- model cost change (Ceres: -m'(r + m/2), m = J*step) -------------
+    def jdelta(j_blocks_and_deltas):
+        out = 0.0
+        for j, d in j_blocks_and_deltas:
+            out = out + jnp.einsum("fri,fi->fr", j, d)
+        return out
+
+    m_rp = jdelta(
+        [
+            (j_rp_pose, delta_p[tables.reproj.pose_idx]),
+            (j_rp_point, delta_l[tables.reproj.point_idx]),
+        ]
+    )
+    m_bb = jdelta(
+        [
+            (j_bb_obj, delta_o[tables.bbox.obj_idx]),
+            (j_bb_pose, delta_p[tables.bbox.pose_idx]),
+        ]
+    )
+    m_sh = jdelta([(j_sh, delta_o[tables.shape.obj_idx])])
+    m_rl = jdelta(
+        [
+            (j_rl_b, delta_p[tables.relpose.before_idx]),
+            (j_rl_a, delta_p[tables.relpose.after_idx]),
+        ]
+    )
+    m_lt = jdelta([(j_lt, delta_o[tables.ltm.obj_idx])])
+
+    def mterm(m, r):
+        return -jnp.sum(m * (r + 0.5 * m))
+
+    model_cost_change = (
+        mterm(m_rp, r_rp)
+        + mterm(m_bb, r_bb)
+        + mterm(m_sh, r_sh)
+        + mterm(m_rl, r_rl)
+        + mterm(m_lt, r_lt)
+    )
+
+    delta = BAState(poses=delta_p, points=delta_l, objects=delta_o)
+    return delta, model_cost_change, grad_max

@@ -1,0 +1,220 @@
+"""LM + Schur solver tests on synthetic BA problems: ground-truth recovery,
+convergence semantics, fixed-block and outlier-weight handling."""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+import obvi_slam_tpu.solver as slv
+from obvi_slam_tpu import geometry as geo
+from obvi_slam_tpu import types as T
+
+RNG = np.random.default_rng(11)
+
+
+def build_synthetic_ba(n_poses=6, n_points=30, with_objects=False, noise=0.0, seed=3):
+    rng = np.random.default_rng(seed)
+    gt_poses = np.zeros((n_poses, 6))
+    gt_poses[:, 0] = np.arange(n_poses) * 0.4
+    gt_poses[:, 4] = rng.normal(size=n_poses) * 0.02  # slight yaw wiggle
+    gt_points = np.stack(
+        [rng.uniform(-4, 4, n_points), rng.uniform(-2, 2, n_points), rng.uniform(5, 14, n_points)],
+        axis=1,
+    )
+    n_objs = 2 if with_objects else 1
+    gt_objects = np.zeros((n_objs, 7))
+    if with_objects:
+        gt_objects[0] = [1.0, 0.3, 8.0, 0.4, 1.2, 0.8, 1.6]
+        gt_objects[1] = [-1.5, -0.2, 11.0, -0.2, 0.9, 1.1, 2.0]
+
+    cams = T.make_camera_bundle(
+        np.eye(3)[None], np.zeros((1, 3)), [500.0], [500.0], [320.0], [240.0]
+    )
+
+    pose_idx, pt_idx, obs, mult = [], [], [], []
+    for i in range(n_poses):
+        for j in range(n_points):
+            proj, depth = geo.project_point_rectified(
+                jnp.asarray(gt_poses[i]), jnp.asarray(gt_points[j]), jnp.eye(3), jnp.zeros(3)
+            )
+            if float(depth) > 1.0:
+                pose_idx.append(i)
+                pt_idx.append(j)
+                obs.append(np.asarray(proj) + rng.normal(size=2) * noise / 500.0)
+                mult.append([500.0 / 2.0, 500.0 / 2.0])
+    reproj = T.make_reprojection_factors(pose_idx, pt_idx, [0] * len(obs), obs, mult)
+
+    # Odometry factors pin scale + gauge together with fixing pose 0.
+    before, after, meas_t, meas_r, si = [], [], [], [], []
+    sqrt_inf = np.diag([100.0] * 3 + [200.0] * 3)
+    for i in range(n_poses - 1):
+        rel = np.array(geo.pose_between(jnp.asarray(gt_poses[i]), jnp.asarray(gt_poses[i + 1])))
+        before.append(i)
+        after.append(i + 1)
+        meas_t.append(rel[:3])
+        meas_r.append(Rotation.from_rotvec(rel[3:]).as_matrix())
+        si.append(sqrt_inf)
+    relpose = T.make_relative_pose_factors(before, after, meas_t, meas_r, si)
+
+    tables = T.empty_factor_tables()._replace(reproj=reproj, relpose=relpose)
+
+    if with_objects:
+        bb_obj, bb_pose, bb_corners, bb_si = [], [], [], []
+        s_inf = np.diag([1 / 30.0] * 4) @ np.diag([500.0] * 4)
+        for k in range(n_objs):
+            for i in range(n_poses):
+                c, valid = geo.ellipsoid_corners_rectified(
+                    jnp.asarray(gt_objects[k]), jnp.asarray(gt_poses[i]), jnp.eye(3), jnp.zeros(3)
+                )
+                if bool(valid):
+                    bb_obj.append(k)
+                    bb_pose.append(i)
+                    bb_corners.append(np.asarray(c))
+                    bb_si.append(s_inf)
+        bbox = T.make_bounding_box_factors(bb_obj, bb_pose, [0] * len(bb_obj), bb_corners, bb_si)
+        shape = T.make_shape_prior_factors(
+            list(range(n_objs)),
+            gt_objects[:, 4:7],
+            [np.diag([1.0 / 0.5] * 3)] * n_objs,
+        )
+        tables = tables._replace(bbox=bbox, shape=shape)
+
+    state_gt = T.BAState(jnp.asarray(gt_poses), jnp.asarray(gt_points), jnp.asarray(gt_objects))
+    return state_gt, cams, tables
+
+
+def perturb(state, pose_sigma=0.05, point_sigma=0.2, obj_sigma=0.1, seed=5):
+    rng = np.random.default_rng(seed)
+    poses = np.asarray(state.poses).copy()
+    poses[1:] += rng.normal(size=poses[1:].shape) * pose_sigma
+    points = np.asarray(state.points) + rng.normal(size=state.points.shape) * point_sigma
+    objects = np.asarray(state.objects).copy()
+    objects += rng.normal(size=objects.shape) * obj_sigma
+    return T.BAState(jnp.asarray(poses), jnp.asarray(points), jnp.asarray(objects))
+
+
+def free_masks(state, fix_first_pose=True):
+    pose_free = np.ones(state.poses.shape[0], dtype=bool)
+    if fix_first_pose:
+        pose_free[0] = False
+    return T.FreeMasks(
+        poses=jnp.asarray(pose_free),
+        points=jnp.ones(state.points.shape[0], dtype=bool),
+        objects=jnp.ones(state.objects.shape[0], dtype=bool),
+    )
+
+
+class TestVisualOnlyBA:
+    def test_recovers_ground_truth(self):
+        state_gt, cams, tables = build_synthetic_ba()
+        state0 = perturb(state_gt)
+        plan = slv.build_schur_plan(tables)
+        free = free_masks(state_gt)
+        state, summary = slv.solve(state0, cams, tables, plan, free)
+        assert summary.final_cost < 1e-10, summary
+        pose_err = np.abs(np.asarray(state.poses) - np.asarray(state_gt.poses)).max()
+        point_err = np.abs(np.asarray(state.points) - np.asarray(state_gt.points)).max()
+        assert pose_err < 1e-5, pose_err
+        assert point_err < 1e-4, point_err
+        assert summary.termination in (
+            "FUNCTION_TOLERANCE",
+            "PARAMETER_TOLERANCE",
+            "GRADIENT_TOLERANCE",
+        )
+
+    def test_cost_monotone_decreasing_on_accepted(self):
+        state_gt, cams, tables = build_synthetic_ba(noise=1.0)
+        state0 = perturb(state_gt)
+        plan = slv.build_schur_plan(tables)
+        state, summary = slv.solve(state0, cams, tables, plan, free_masks(state_gt))
+        costs = [r.cost for r in summary.iterations if r.accepted]
+        assert all(b < a + 1e-12 for a, b in zip(costs, costs[1:]))
+        assert summary.final_cost <= summary.initial_cost
+
+    def test_fixed_pose_untouched(self):
+        state_gt, cams, tables = build_synthetic_ba()
+        state0 = perturb(state_gt)
+        plan = slv.build_schur_plan(tables)
+        state, _ = slv.solve(state0, cams, tables, plan, free_masks(state_gt))
+        np.testing.assert_array_equal(
+            np.asarray(state.poses[0]), np.asarray(state0.poses[0])
+        )
+
+    def test_zero_iterations(self):
+        state_gt, cams, tables = build_synthetic_ba()
+        plan = slv.build_schur_plan(tables)
+        state0 = perturb(state_gt)
+        state, summary = slv.solve(
+            state0, cams, tables, plan, free_masks(state_gt), params=slv.LMParams(max_num_iterations=0)
+        )
+        np.testing.assert_array_equal(np.asarray(state.poses), np.asarray(state0.poses))
+        assert summary.final_cost == summary.initial_cost
+
+
+class TestObjectBA:
+    def test_joint_recovery(self):
+        state_gt, cams, tables = build_synthetic_ba(with_objects=True)
+        state0 = perturb(state_gt)
+        plan = slv.build_schur_plan(tables)
+        state, summary = slv.solve(state0, cams, tables, plan, free_masks(state_gt))
+        assert summary.final_cost < 1e-8, summary
+        obj_err = np.abs(np.asarray(state.objects) - np.asarray(state_gt.objects)).max()
+        assert obj_err < 1e-3, obj_err
+
+    def test_object_only_solve_with_fixed_poses(self):
+        # Pending-object mini-BA analog (pending_object_estimator.cpp:19-151):
+        # poses constant, bbox + shape priors only.
+        state_gt, cams, tables = build_synthetic_ba(with_objects=True)
+        tables = tables._replace(
+            reproj=T.empty_reprojection_factors(),
+            relpose=T.empty_relative_pose_factors(),
+        )
+        state0 = perturb(state_gt, pose_sigma=0.0, point_sigma=0.0, obj_sigma=0.2)
+        plan = slv.build_schur_plan(tables)
+        free = T.FreeMasks(
+            poses=jnp.zeros(state_gt.poses.shape[0], dtype=bool),
+            points=jnp.zeros(state_gt.points.shape[0], dtype=bool),
+            objects=jnp.ones(state_gt.objects.shape[0], dtype=bool),
+        )
+        state, summary = slv.solve(state0, cams, tables, plan, free)
+        np.testing.assert_array_equal(np.asarray(state.poses), np.asarray(state0.poses))
+        obj_err = np.abs(np.asarray(state.objects) - np.asarray(state_gt.objects)).max()
+        assert obj_err < 1e-2, (obj_err, summary.final_cost)
+
+
+class TestOutlierWeights:
+    def test_outlier_downweight_changes_solution(self):
+        state_gt, cams, tables = build_synthetic_ba(n_poses=4, n_points=12)
+        # Corrupt one observation badly.
+        rect = np.asarray(tables.reproj.rect_obs).copy()
+        rect[0] += 0.5
+        tables = tables._replace(reproj=tables.reproj._replace(rect_obs=jnp.asarray(rect)))
+        plan = slv.build_schur_plan(tables)
+        free = free_masks(state_gt)
+        state0 = perturb(state_gt, pose_sigma=0.01, point_sigma=0.05)
+
+        w_all = slv.ones_weights(tables)
+        _, sum_all = slv.solve(state0, cams, tables, plan, free, weights=w_all)
+        w_out = w_all._replace(reproj=w_all.reproj.at[0].set(0.0))
+        state_excl, sum_excl = slv.solve(state0, cams, tables, plan, free, weights=w_out)
+        # Excluding the corrupted factor must reach (near) zero cost.
+        assert sum_excl.final_cost < 1e-9
+        assert sum_all.final_cost > sum_excl.final_cost
+
+
+class TestLtmPrior:
+    def test_prior_pulls_object(self):
+        state_gt, cams, tables = build_synthetic_ba(with_objects=True)
+        # Strong LTM prior at a shifted mean, with no other object factors.
+        mean = np.asarray(state_gt.objects[0]).copy()
+        mean[0] += 1.0
+        ltm = T.make_ltm_prior_factors([0], [mean], [np.eye(7) * 100.0])
+        tables = T.empty_factor_tables()._replace(ltm=ltm)
+        plan = slv.build_schur_plan(tables)
+        free = T.FreeMasks(
+            poses=jnp.zeros(state_gt.poses.shape[0], dtype=bool),
+            points=jnp.zeros(state_gt.points.shape[0], dtype=bool),
+            objects=jnp.ones(state_gt.objects.shape[0], dtype=bool),
+        )
+        state, summary = slv.solve(state_gt, cams, tables, plan, free)
+        np.testing.assert_allclose(np.asarray(state.objects[0]), mean, atol=1e-6)
