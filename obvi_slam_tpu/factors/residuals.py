@@ -250,10 +250,15 @@ def total_cost(
     invalid_error=1e6,
     reproj_weight=None,
     bbox_weight=None,
+    shape_weight=None,
+    relpose_weight=None,
+    ltm_weight=None,
 ):
     """Robustified total cost. ``*_weight`` optionally multiplies each block's
-    rho (used by the two-phase outlier pass: weight 0 drops a factor without a
-    shape change)."""
+    rho (used by the two-phase outlier pass and scope-inclusion rules:
+    weight 0 drops a factor without a shape change). NOTE: weights scale rho,
+    not the residual, so only 0/1 weights match reference exclusion
+    semantics exactly."""
 
     def block_cost(r, mask, delta, weight=None):
         s = jnp.sum(r * r, axis=-1)
@@ -273,11 +278,18 @@ def total_cost(
         huber_bbox,
         bbox_weight,
     )
-    cost += block_cost(shape_residuals(state, tables.shape), tables.shape.mask, huber_shape)
     cost += block_cost(
-        relpose_residuals(state, tables.relpose), tables.relpose.mask, huber_relpose
+        shape_residuals(state, tables.shape), tables.shape.mask, huber_shape, shape_weight
     )
-    cost += block_cost(ltm_residuals(state, tables.ltm), tables.ltm.mask, huber_ltm)
+    cost += block_cost(
+        relpose_residuals(state, tables.relpose),
+        tables.relpose.mask,
+        huber_relpose,
+        relpose_weight,
+    )
+    cost += block_cost(
+        ltm_residuals(state, tables.ltm), tables.ltm.mask, huber_ltm, ltm_weight
+    )
     rq = param_prior_residuals(state, tables.param_prior)
     cost += 0.5 * jnp.sum(jnp.where(tables.param_prior.mask, rq * rq, 0.0))
     return cost

@@ -1,0 +1,455 @@
+"""Offline problem runner: the per-frame optimization loop.
+
+Re-design of ``OfflineProblemRunner`` (``offline_problem_runner.h:100-958``)
+and the hook wiring of ``optimization_runner.h`` as explicit typed calls:
+
+  for frame 1..N:
+      window  = provide_optimization_window(frame)            (run_opt_utils.h:101-116)
+      add frame data (pose-chain init, odom factor, visual frontend,
+                      bb frontend)                            (pose_graph_frame_data_adder.h:138+)
+      run_optimization_iteration(window, frame):
+          [global-BA frames with PGO enabled: tracking solve + PGO+objects]
+          phase I BA on window -> per-factor residual ranking ->
+          exclude worst feature_outlier_percentage of reproj + bbox blocks ->
+          revert values -> phase II without outliers          (:544-894)
+          jump check -> revert                                 (:895-905)
+  final: run_optimization_iteration(0, N)
+  merge loop: while proximity merges found -> merge + full re-opt (:918-958)
+
+TPU-native differences: phase II swaps 0/1 weight vectors instead of
+rebuilding the Ceres problem; reverts swap cached numpy arrays instead of
+deep-copying a pointer graph.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from obvi_slam_tpu import config as cfg
+from obvi_slam_tpu import solver as slv
+from obvi_slam_tpu.offline_data import OfflineProblemData
+from obvi_slam_tpu.pose_graph import (
+    OBJECT_OBSERVATION_FACTOR,
+    REPROJECTION_FACTOR,
+    PoseGraph,
+)
+from obvi_slam_tpu.solver.problem import (
+    Problem,
+    Scope,
+    build_problem,
+    reweight_for_exclusions,
+    write_back,
+)
+from obvi_slam_tpu.timing import timer
+
+logger = logging.getLogger(__name__)
+
+
+def provide_optimization_window(max_frame_to_opt, max_frame_id, sliding_window_params):
+    """run_opt_utils.h:101-116 verbatim."""
+    if max_frame_to_opt == max_frame_id:
+        return 0
+    if max_frame_to_opt % sliding_window_params.global_ba_frequency == 0:
+        return 0
+    if max_frame_to_opt < sliding_window_params.local_ba_window_size:
+        return 0
+    return max_frame_to_opt - sliding_window_params.local_ba_window_size
+
+
+def generate_odom_cov(rel_pose: np.ndarray, cov_params) -> np.ndarray:
+    """generateOdomCov (relative_pose_factor_utils.h:17-36)."""
+    k_min_std = 1e-3
+    transl = rel_pose[:3]
+    rot = rel_pose[3:6]
+    angle = np.linalg.norm(rot)
+    std = np.zeros(6)
+    std[:3] = (
+        np.abs(transl) * cov_params.transl_error_mult_for_transl_error
+        + abs(angle) * cov_params.rot_error_mult_for_transl_error
+    )
+    std[3:] = (
+        np.abs(rot) * cov_params.rot_error_mult_for_rot_error
+        + np.linalg.norm(transl) * cov_params.transl_error_mult_for_rot_error
+    )
+    return np.diag(np.maximum(std, k_min_std) ** 2)
+
+
+def lm_params_from_config(p: cfg.OptimizationSolverParams) -> slv.LMParams:
+    return slv.LMParams(
+        max_num_iterations=p.max_num_iterations,
+        allow_non_monotonic_steps=p.allow_non_monotonic_steps,
+        function_tolerance=p.function_tolerance,
+        gradient_tolerance=p.gradient_tolerance,
+        parameter_tolerance=p.parameter_tolerance,
+        initial_trust_region_radius=p.initial_trust_region_radius,
+        max_trust_region_radius=p.max_trust_region_radius,
+    )
+
+
+@dataclass
+class RunnerHooks:
+    """Optional injection points (the reference's std::function hooks)."""
+
+    # Called as (pg, frame_id) after each frame's data adding.
+    frame_data_extra: Optional[Callable] = None
+    # Bounding-box frontend: called as (data, pg, frame_id). None = visual-only.
+    bb_frontend: Optional[Callable] = None
+    # Visualization callback: (pg, stage, frame_id).
+    visualization: Optional[Callable] = None
+    # Object merge decider at session end: (pg) -> bool (True if merged any).
+    object_merger: Optional[Callable] = None
+    # Called with (frame_id, summary, phase) after each solve.
+    solve_logger: Optional[Callable] = None
+
+
+@dataclass
+class OptLogRecord:
+    """One row of the per-solve log (optimization_logger.h:94+ schema)."""
+
+    frame_id: int
+    global_ba: bool
+    phase: int
+    attempt: int
+    num_poses: int
+    num_features: int
+    num_objects: int
+    initial_cost: float
+    final_cost: float
+    iterations: int
+    termination: str
+
+
+class OfflineProblemRunner:
+    def __init__(
+        self,
+        config: cfg.FullOVSLAMConfig,
+        hooks: RunnerHooks = None,
+        dtype=np.float64,
+    ):
+        self.config = config
+        self.hooks = hooks or RunnerHooks()
+        self.dtype = dtype
+        self.opt_log: List[OptLogRecord] = []
+        self.visual_frontend = None  # set by run_optimization
+
+    # ------------------------------------------------------------------
+    def _gba_checker(self, frame_id, max_frame_id) -> bool:
+        return (
+            provide_optimization_window(
+                frame_id, max_frame_id, self.config.sliding_window_params
+            )
+            == 0
+        )
+
+    def _iteration_params(self, frame_id, max_frame_id) -> cfg.OptimizationIterationParams:
+        """local/global/final param choice (optimization_runner.h:204-216)."""
+        if frame_id == max_frame_id:
+            return self.config.final_ba_iteration_params
+        if self._gba_checker(frame_id, max_frame_id):
+            return self.config.global_ba_iteration_params
+        return self.config.local_ba_iteration_params
+
+    def _scope(self, min_frame, max_frame) -> Scope:
+        en = self.config.optimization_factors_enabled_params
+        return Scope(
+            min_frame_id=min_frame,
+            max_frame_id=max_frame,
+            include_object_factors=en.include_object_factors,
+            include_visual_factors=en.include_visual_factors,
+            fix_poses=en.fix_poses,
+            fix_objects=en.fix_objects,
+            fix_visual_features=en.fix_visual_features,
+            fix_ltm_objects=en.fix_ltm_objects,
+            poses_prior_to_window_to_keep_constant=en.poses_prior_to_window_to_keep_constant,
+            min_object_observations=en.min_object_observations,
+            min_low_level_feature_observations=en.min_low_level_feature_observations,
+            min_low_level_feature_observations_per_frame=en.min_low_level_feature_observations_per_frame,
+        )
+
+    # ------------------------------------------------------------------
+    def add_frame_data(
+        self, data: OfflineProblemData, pg: PoseGraph, min_frame_id, frame_to_add
+    ):
+        """pose_graph_frame_data_adder.h:138-260."""
+        init_pose = data.get_robot_pose_estimate(frame_to_add)
+        if init_pose is None:
+            raise ValueError(f"no initial pose estimate for frame {frame_to_add}")
+
+        from obvi_slam_tpu.frontend.visual_features import _pose_to_rt
+
+        if frame_to_add == 0:
+            pg.add_frame(0, init_pose)
+        else:
+            prev_init = data.get_robot_pose_estimate(frame_to_add - 1)
+            prev_optim = pg.get_robot_pose(frame_to_add - 1)
+            if prev_init is None or prev_optim is None:
+                pg.add_frame(frame_to_add, init_pose)
+            else:
+                # Chain relative init delta onto the optimized previous pose.
+                r_pi, t_pi = _pose_to_rt(prev_init)
+                r_ci, t_ci = _pose_to_rt(init_pose)
+                rel_r = r_pi.T @ r_ci
+                rel_t = r_pi.T @ (t_ci - t_pi)
+                r_po, t_po = _pose_to_rt(prev_optim)
+                new_r = r_po @ rel_r
+                new_t = r_po @ rel_t + t_po
+                from scipy.spatial.transform import Rotation
+
+                pg.add_frame(
+                    frame_to_add,
+                    np.concatenate([new_t, Rotation.from_matrix(new_r).as_rotvec()]),
+                )
+            # Odometry factor from consecutive initial-pose delta.
+            if prev_init is not None:
+                r_pi, t_pi = _pose_to_rt(prev_init)
+                r_ci, t_ci = _pose_to_rt(init_pose)
+                from scipy.spatial.transform import Rotation
+
+                rel = np.concatenate(
+                    [
+                        r_pi.T @ (t_ci - t_pi),
+                        Rotation.from_matrix(r_pi.T @ r_ci).as_rotvec(),
+                    ]
+                )
+                cov = generate_odom_cov(
+                    rel,
+                    self.config.object_visual_pose_graph_residual_params.relative_pose_cov_params,
+                )
+                pg.add_pose_factor(frame_to_add - 1, frame_to_add, rel, cov)
+
+        if self.visual_frontend is not None:
+            self.visual_frontend.add_visual_feature_observations(
+                data, pg, min_frame_id, frame_to_add
+            )
+        if self.hooks.bb_frontend is not None:
+            self.hooks.bb_frontend(data, pg, frame_to_add)
+        if self.hooks.frame_data_extra is not None:
+            self.hooks.frame_data_extra(pg, frame_to_add)
+
+    # ------------------------------------------------------------------
+    def run_optimization_iteration(
+        self,
+        data: OfflineProblemData,
+        pg: PoseGraph,
+        start_opt_with_frame: int,
+        next_frame_id: int,
+        max_frame_id: int,
+        attempt_num: int = 0,
+    ) -> bool:
+        iteration_params = self._iteration_params(next_frame_id, max_frame_id)
+        global_ba = self._gba_checker(next_frame_id, max_frame_id)
+        en = self.config.optimization_factors_enabled_params
+
+        # PGO-on-global-BA path (runPgoPlusEllipsoids) — wired when enabled.
+        run_visual_feature_opt = True
+        if global_ba:
+            if next_frame_id == max_frame_id and attempt_num > 0:
+                run_pgo = en.use_pose_graph_on_final_global_ba
+                if run_pgo:
+                    run_visual_feature_opt = en.use_visual_features_on_final_global_ba
+            else:
+                run_pgo = en.use_pose_graph_on_global_ba
+                if run_pgo:
+                    run_visual_feature_opt = en.use_visual_features_on_global_ba
+            if run_pgo:
+                from obvi_slam_tpu.pgo import run_pgo_plus_ellipsoids, run_tracking_solve
+
+                with timer("obj_only_pgo_full_process"):
+                    run_tracking_solve(self, data, pg, next_frame_id)
+                    run_pgo_plus_ellipsoids(
+                        self, data, pg, next_frame_id, next_frame_id == max_frame_id,
+                        attempt_num,
+                    )
+
+        if not run_visual_feature_opt:
+            return True
+
+        scope = self._scope(start_opt_with_frame, next_frame_id)
+        two_phase = iteration_params.feature_outlier_percentage > 0
+
+        ba_name = "global_bundle_adjustment" if global_ba else "local_bundle_adjustment"
+        with timer(ba_name):
+            with timer(
+                ("phase_one_gba_build_opt" if global_ba else "phase_one_lba_build_opt")
+            ):
+                problem = build_problem(
+                    pg,
+                    scope,
+                    self.config.object_visual_pose_graph_residual_params,
+                    dtype=self.dtype,
+                )
+            snapshot = pg.snapshot_values()
+
+            with timer(
+                ("phase_one_gba_solve_opt" if global_ba else "phase_one_lba_solve_opt")
+            ):
+                state, summary = slv.solve(
+                    problem.state,
+                    problem.cams,
+                    problem.tables,
+                    problem.plan,
+                    problem.free,
+                    weights=problem.weights,
+                    params=lm_params_from_config(iteration_params.phase_one_opt_params),
+                    huber=problem.huber,
+                )
+            self._log_solve(problem, summary, next_frame_id, global_ba, 1, attempt_num)
+
+            if two_phase:
+                # Outlier selection on post-phase-1 residuals.
+                import obvi_slam_tpu.factors as fac
+
+                res = fac.all_residuals(
+                    state, problem.cams, problem.tables, problem.huber.invalid_ellipse_error
+                )
+                excluded: Set[Tuple[int, int]] = set()
+                for ftype, key, rows, w in (
+                    (REPROJECTION_FACTOR, "reproj", problem.reproj_rows, problem.base_weights_np["reproj"]),
+                    (OBJECT_OBSERVATION_FACTOR, "bbox", problem.bbox_rows, problem.base_weights_np["bbox"]),
+                ):
+                    r = np.asarray(res[key])[: len(rows)]
+                    sq = np.sum(r * r, axis=1)
+                    live = np.nonzero(w > 0)[0]
+                    n_out = int(len(live) * iteration_params.feature_outlier_percentage)
+                    if n_out > 0:
+                        worst = live[np.argsort(-sq[live])[:n_out]]
+                        for i in worst:
+                            excluded.add((ftype, int(rows[i])))
+
+                # Phase II: revert values, re-solve without outliers.
+                pg.restore_values(snapshot)
+                with timer(
+                    ("phase_two_gba_build_opt" if global_ba else "phase_two_lba_build_opt")
+                ):
+                    weights2 = reweight_for_exclusions(pg, problem, excluded)
+                with timer(
+                    ("phase_two_gba_solve_opt" if global_ba else "phase_two_lba_solve_opt")
+                ):
+                    state, summary = slv.solve(
+                        problem.state,
+                        problem.cams,
+                        problem.tables,
+                        problem.plan,
+                        problem.free,
+                        weights=weights2,
+                        params=lm_params_from_config(
+                            iteration_params.phase_two_opt_params
+                        ),
+                        huber=problem.huber,
+                    )
+                self._log_solve(problem, summary, next_frame_id, global_ba, 2, attempt_num)
+
+            write_back(pg, problem, state)
+
+            # Jump detection -> full revert (offline_problem_runner.h:895-905).
+            if iteration_params.allow_reversion_after_detecting_jumps:
+                if not self._consecutive_poses_stable(
+                    pg,
+                    scope.min_frame_id,
+                    scope.max_frame_id,
+                    iteration_params.consecutive_pose_transl_tol,
+                    iteration_params.consecutive_pose_orient_tol,
+                ):
+                    logger.warning(
+                        "Jump detected after optimizing frame %d; reverting",
+                        next_frame_id,
+                    )
+                    pg.restore_values(snapshot)
+
+        if self.hooks.visualization is not None:
+            self.hooks.visualization(pg, "AFTER_EACH_OPTIMIZATION", next_frame_id)
+        return True
+
+    def _consecutive_poses_stable(self, pg, min_frame, max_frame, transl_tol, orient_tol):
+        """isConsecutivePosesStable_ (offline_problem_runner.h:337-374)."""
+        from obvi_slam_tpu.frontend.visual_features import _pose_to_rt
+
+        for frame in range(min_frame + 1, max_frame + 1):
+            prev = pg.get_robot_pose(frame - 1)
+            curr = pg.get_robot_pose(frame)
+            if prev is None or curr is None:
+                continue
+            rp, tp = _pose_to_rt(prev)
+            rc, tc = _pose_to_rt(curr)
+            rel_t = rp.T @ (tc - tp)
+            cos_a = np.clip((np.trace(rp.T @ rc) - 1) / 2, -1, 1)
+            if np.linalg.norm(rel_t) > transl_tol or abs(np.arccos(cos_a)) > orient_tol:
+                return False
+        return True
+
+    def _log_solve(self, problem, summary, frame_id, global_ba, phase, attempt):
+        rec = OptLogRecord(
+            frame_id=frame_id,
+            global_ba=global_ba,
+            phase=phase,
+            attempt=attempt,
+            num_poses=len(problem.pose_rows),
+            num_features=len(problem.point_rows),
+            num_objects=len(problem.obj_rows),
+            initial_cost=summary.initial_cost,
+            final_cost=summary.final_cost,
+            iterations=summary.num_iterations,
+            termination=summary.termination,
+        )
+        self.opt_log.append(rec)
+        if self.hooks.solve_logger is not None:
+            self.hooks.solve_logger(frame_id, summary, phase)
+
+    # ------------------------------------------------------------------
+    def run_optimization(
+        self,
+        data: OfflineProblemData,
+        pg: PoseGraph,
+        visual_frontend=None,
+        start_at_frame: int = 0,
+        add_data_for_starting_frame: bool = True,
+        max_frame_id: Optional[int] = None,
+    ) -> bool:
+        """Main loop (offline_problem_runner.h:100-274)."""
+        self.visual_frontend = visual_frontend
+        if max_frame_id is None:
+            max_frame_id = data.max_frame_id()
+        lt = self.config.limit_traj_eval_params
+        if lt.should_limit_trajectory_evaluation:
+            max_frame_id = min(lt.max_frame_id, max_frame_id)
+
+        with timer("offline_runner_online_portion"):
+            if start_at_frame == 0 and add_data_for_starting_frame:
+                self.add_frame_data(data, pg, 0, 0)
+
+            first_frame = max(1, start_at_frame)
+            for next_frame_id in range(first_frame, max_frame_id + 1):
+                with timer("optimization_iteration"):
+                    window_start = provide_optimization_window(
+                        next_frame_id, max_frame_id, self.config.sliding_window_params
+                    )
+                    if next_frame_id != start_at_frame or add_data_for_starting_frame:
+                        with timer("frame_data_adder"):
+                            self.add_frame_data(data, pg, window_start, next_frame_id)
+                    if not self.run_optimization_iteration(
+                        data, pg, window_start, next_frame_id, max_frame_id
+                    ):
+                        return False
+
+        with timer("offline_runner_offline_portion"):
+            # Final refinement over the whole trajectory.
+            if not self.run_optimization_iteration(
+                data, pg, 0, max_frame_id, max_frame_id, attempt_num=1
+            ):
+                return False
+
+            # Post-session merge loop.
+            if self.hooks.object_merger is not None:
+                with timer("post_session_map_merge"):
+                    post_round = 2
+                    while self.hooks.object_merger(pg):
+                        if not self.run_optimization_iteration(
+                            data, pg, 0, max_frame_id, max_frame_id, attempt_num=post_round
+                        ):
+                            return False
+                        post_round += 1
+        return True

@@ -87,6 +87,9 @@ def _jit_cost(state, cams, tables, weights, huber):
         invalid_error=huber.invalid_ellipse_error,
         reproj_weight=weights.reproj,
         bbox_weight=weights.bbox,
+        shape_weight=weights.shape,
+        relpose_weight=weights.relpose,
+        ltm_weight=weights.ltm,
     )
 
 

@@ -1,0 +1,587 @@
+"""Window problem builder: pose-graph -> padded device tables.
+
+TPU-native replacement for the reference's incremental Ceres problem
+management (``object_pose_graph_optimizer.h:126-632``
+``buildPoseGraphOptimization``): instead of mutating a ceres::Problem, each
+window is gathered into capacity-bucketed ``FactorTables`` + a ``SchurPlan``.
+Scope-dependent inclusion (min-observation thresholds, feature-starved
+relpose gating, LTM handling) is expressed as 0/1 ``FactorWeights`` so
+phase-1 and phase-2 of an iteration — and successive windows of similar size —
+share one jit signature and ZERO problem rebuilds.
+
+Selection rules replicated from the reference:
+  - visual factors with frames in [min,max]; features kept only with
+    >= min_low_level_feature_observations factors in scope (:827-861)
+  - relpose factors only for frames with < min_..._per_frame live feature
+    observations (:240-299)
+  - object observation factors in scope; objects kept with
+    >= min_object_observations or LTM membership (:335-339)
+  - object-only factors (shape prior / LTM prior) for included objects;
+    force_include_ltm_objs adds all LTM objects (LTM extraction) (:342-405)
+  - constant poses: frame 0 when window starts at 0, else the first
+    max(1, poses_prior_to_window_to_keep_constant) window frames (:424-472)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from obvi_slam_tpu import types as T
+from obvi_slam_tpu.pose_graph import (
+    OBJECT_OBSERVATION_FACTOR,
+    RELATIVE_POSE_FACTOR,
+    REPROJECTION_FACTOR,
+    SHAPE_PRIOR_FACTOR,
+    PoseGraph,
+)
+from obvi_slam_tpu.solver import schur as schur_mod
+
+
+@dataclass
+class Scope:
+    """OptimizationScopeParams mirror (optimization_factors_enabled_params.h:84+)."""
+
+    min_frame_id: int
+    max_frame_id: int
+    include_object_factors: bool = True
+    include_visual_factors: bool = True
+    fix_poses: bool = False
+    fix_objects: bool = False
+    fix_visual_features: bool = False
+    fix_ltm_objects: bool = False
+    poses_prior_to_window_to_keep_constant: int = 1
+    min_object_observations: int = 1
+    min_low_level_feature_observations: int = 3
+    min_low_level_feature_observations_per_frame: int = 50
+    force_include_ltm_objs: bool = False
+    include_shape_priors: bool = True  # excluded during LTM extraction
+
+
+def _bucket(n: int, minimum=16) -> int:
+    """Next power of two >= n, for jit-signature stability."""
+    n = max(n, minimum)
+    return 1 << (n - 1).bit_length()
+
+
+def _sqrt_inf(cov: np.ndarray) -> np.ndarray:
+    """cov^-1 principal square root (Eigen cov.inverse().sqrt())."""
+    inv = np.linalg.inv(cov)
+    s = scipy.linalg.sqrtm(inv)
+    return np.real(s)
+
+
+@dataclass
+class Problem:
+    """A gathered window: device-ready arrays + host index maps."""
+
+    state: T.BAState
+    cams: T.CameraBundle
+    tables: T.FactorTables
+    plan: schur_mod.SchurPlan
+    free: T.FreeMasks
+    weights: schur_mod.FactorWeights
+    huber: schur_mod.HuberParams
+    # Host index maps (row -> pose-graph id).
+    pose_rows: np.ndarray  # frame ids
+    point_rows: np.ndarray  # feature ids
+    obj_rows: np.ndarray  # object ids
+    reproj_rows: np.ndarray  # visual factor ids (pg indices)
+    bbox_rows: np.ndarray  # object observation factor ids
+    relpose_rows: np.ndarray
+    shape_rows: np.ndarray
+    ltm_rows: np.ndarray
+    scope: Scope = None
+    # numpy copies of weight vectors (pre-exclusion), for the outlier pass
+    base_weights_np: dict = field(default_factory=dict)
+
+
+def camera_bundle_from_pose_graph(pg: PoseGraph, dtype=np.float64):
+    """Contiguous camera rows + id map."""
+    cam_ids = sorted(pg.cameras)
+    idx = {c: i for i, c in enumerate(cam_ids)}
+    r = np.stack([pg.cameras[c].extrinsics_r for c in cam_ids])
+    t = np.stack([pg.cameras[c].extrinsics_t for c in cam_ids])
+    fx = np.array([pg.cameras[c].intrinsics[0, 0] for c in cam_ids])
+    fy = np.array([pg.cameras[c].intrinsics[1, 1] for c in cam_ids])
+    cx = np.array([pg.cameras[c].intrinsics[0, 2] for c in cam_ids])
+    cy = np.array([pg.cameras[c].intrinsics[1, 2] for c in cam_ids])
+    return T.make_camera_bundle(r, t, fx, fy, cx, cy, dtype=dtype), idx
+
+
+def compute_inclusion_weights(
+    pg: PoseGraph,
+    scope: Scope,
+    reproj_rows: np.ndarray,
+    bbox_rows: np.ndarray,
+    relpose_rows: np.ndarray,
+    shape_rows: np.ndarray,
+    ltm_rows: np.ndarray,
+    excluded: Optional[Set[Tuple[int, int]]] = None,
+):
+    """0/1 weights implementing the reference's factor-selection rules.
+
+    ``excluded``: set of (factor_type, pg_factor_id) outliers (two-phase)."""
+    excluded = excluded or set()
+
+    rp_w = np.ones(len(reproj_rows))
+    for i, fid in enumerate(reproj_rows):
+        if (REPROJECTION_FACTOR, fid) in excluded:
+            rp_w[i] = 0.0
+    # Min observations per feature (count of live factors in scope).
+    feat_count: Dict[int, int] = {}
+    for i, fid in enumerate(reproj_rows):
+        if rp_w[i] > 0:
+            feat = pg.visual_factors[fid].feature_id
+            feat_count[feat] = feat_count.get(feat, 0) + 1
+    for i, fid in enumerate(reproj_rows):
+        if rp_w[i] > 0:
+            feat = pg.visual_factors[fid].feature_id
+            if feat_count.get(feat, 0) < scope.min_low_level_feature_observations:
+                rp_w[i] = 0.0
+    if not scope.include_visual_factors:
+        rp_w[:] = 0.0
+
+    # Relpose: only for feature-starved frames (count live factor rows by frame).
+    frame_obs: Dict[int, int] = {}
+    for i, fid in enumerate(reproj_rows):
+        if rp_w[i] > 0:
+            fr = pg.visual_factors[fid].frame_id
+            frame_obs[fr] = frame_obs.get(fr, 0) + 1
+    use_relpose = (
+        scope.min_low_level_feature_observations_per_frame > 0
+        and scope.include_visual_factors
+    )
+    starved = set()
+    if use_relpose:
+        for fr in range(scope.min_frame_id, scope.max_frame_id + 1):
+            if (
+                frame_obs.get(fr, 0)
+                < scope.min_low_level_feature_observations_per_frame
+            ):
+                starved.add(fr)
+    rl_w = np.zeros(len(relpose_rows))
+    for i, fid in enumerate(relpose_rows):
+        f = pg.relpose_factors[fid]
+        if (f.before_frame in starved or f.after_frame in starved) and (
+            (RELATIVE_POSE_FACTOR, fid) not in excluded
+        ):
+            rl_w[i] = 1.0
+
+    # Objects: min observations or LTM membership.
+    bb_w = np.ones(len(bbox_rows))
+    for i, fid in enumerate(bbox_rows):
+        if (OBJECT_OBSERVATION_FACTOR, fid) in excluded:
+            bb_w[i] = 0.0
+    obj_count: Dict[int, int] = {}
+    for i, fid in enumerate(bbox_rows):
+        if bb_w[i] > 0:
+            obj = pg.object_observations[fid].object_id
+            obj_count[obj] = obj_count.get(obj, 0) + 1
+    included_objects = set()
+    for obj, cnt in obj_count.items():
+        if cnt >= scope.min_object_observations or obj in pg.ltm_object_ids:
+            included_objects.add(obj)
+    for i, fid in enumerate(bbox_rows):
+        if bb_w[i] > 0:
+            if pg.object_observations[fid].object_id not in included_objects:
+                bb_w[i] = 0.0
+    if not scope.include_object_factors:
+        bb_w[:] = 0.0
+        included_objects = set()
+
+    # Object-only factors for included objects.
+    use_object_only = scope.include_object_factors and not scope.fix_objects
+    fix_ltm = scope.fix_objects or scope.fix_ltm_objects
+    objs_with_object_only = set()
+    if use_object_only:
+        if fix_ltm:
+            objs_with_object_only = {
+                o for o in included_objects if o not in pg.ltm_object_ids
+            }
+        else:
+            objs_with_object_only = set(included_objects)
+            if scope.force_include_ltm_objs:
+                objs_with_object_only |= pg.ltm_object_ids
+    sh_w = np.zeros(len(shape_rows))
+    if scope.include_shape_priors:
+        for i, sid in enumerate(shape_rows):
+            sp = pg.shape_priors[sid]
+            if sp is not None and sp.object_id in objs_with_object_only:
+                sh_w[i] = 1.0
+    lt_w = np.zeros(len(ltm_rows))
+    for i, lid in enumerate(ltm_rows):
+        if pg.ltm_factors[lid].object_id in objs_with_object_only:
+            lt_w[i] = 1.0
+
+    return rp_w, bb_w, sh_w, rl_w, lt_w, included_objects, objs_with_object_only
+
+
+def build_problem(
+    pg: PoseGraph,
+    scope: Scope,
+    residual_params=None,
+    excluded: Optional[Set[Tuple[int, int]]] = None,
+    dtype=np.float64,
+    caps: Optional[dict] = None,
+    synthesized_relpose: Optional[list] = None,
+    relpose_huber_override: Optional[float] = None,
+) -> Problem:
+    """Gather the window into device tables.
+
+    ``residual_params``: config.ResidualParams for Huber deltas (optional).
+    ``synthesized_relpose``: list of (before_frame, after_frame, rel_pose6,
+    cov6x6) tuples that REPLACE the pose graph's relpose factors — used by
+    runPgoPlusEllipsoids, which builds chain factors from current estimates
+    (pose_graph_plus_objects_optimizer.h:94-131) rather than from odometry.
+    ``relpose_huber_override``: PGO uses its own relpose Huber delta (5.0).
+    """
+    cams, cam_idx_map = camera_bundle_from_pose_graph(pg, dtype)
+
+    frames = [
+        f for f in pg.frame_ids() if scope.min_frame_id <= f <= scope.max_frame_id
+    ]
+    pose_row_of = {f: i for i, f in enumerate(frames)}
+
+    # --- factor rows in scope (ALL candidates; inclusion via weights) ------
+    reproj_rows = np.array(
+        pg.visual_factor_ids_in_window(scope.min_frame_id, scope.max_frame_id),
+        dtype=np.int64,
+    )
+    bbox_rows = np.array(
+        pg.obj_obs_ids_in_window(scope.min_frame_id, scope.max_frame_id),
+        dtype=np.int64,
+    )
+    if synthesized_relpose is None:
+        relpose_rows = np.array(
+            pg.relpose_ids_in_window(scope.min_frame_id, scope.max_frame_id),
+            dtype=np.int64,
+        )
+    else:
+        relpose_rows = np.array([], dtype=np.int64)
+
+    # Landmark rows: every feature/object referenced by a candidate factor.
+    feat_ids = sorted({pg.visual_factors[f].feature_id for f in reproj_rows})
+    point_row_of = {f: i for i, f in enumerate(feat_ids)}
+    obj_ids = {pg.object_observations[f].object_id for f in bbox_rows}
+    if scope.force_include_ltm_objs:
+        obj_ids |= pg.ltm_object_ids
+    obj_ids = sorted(obj_ids)
+    obj_row_of = {o: i for i, o in enumerate(obj_ids)}
+
+    # Object-only factor rows for the candidate objects.
+    shape_rows = []
+    for o in obj_ids:
+        shape_rows.extend(pg.shape_priors_by_object.get(o, []))
+    shape_rows = np.array(sorted(shape_rows), dtype=np.int64)
+    ltm_rows = []
+    for o in obj_ids:
+        ltm_rows.extend(pg.ltm_factors_by_object.get(o, []))
+    ltm_rows = np.array(sorted(ltm_rows), dtype=np.int64)
+
+    # --- inclusion weights -------------------------------------------------
+    rp_w, bb_w, sh_w, rl_w, lt_w, included_objects, _ = compute_inclusion_weights(
+        pg, scope, reproj_rows, bbox_rows, relpose_rows, shape_rows, ltm_rows, excluded
+    )
+    if synthesized_relpose is not None:
+        rl_w = np.ones(len(synthesized_relpose))
+
+    caps = dict(caps or {})
+    rp_cap = caps.get("reproj", _bucket(len(reproj_rows)))
+    bb_cap = caps.get("bbox", _bucket(len(bbox_rows)))
+    sh_cap = caps.get("shape", _bucket(len(shape_rows)))
+    n_rl = len(synthesized_relpose) if synthesized_relpose is not None else len(relpose_rows)
+    rl_cap = caps.get("relpose", _bucket(n_rl))
+    lt_cap = caps.get("ltm", _bucket(len(ltm_rows)))
+
+    # --- state arrays ------------------------------------------------------
+    poses = np.stack([pg.robot_poses[f] for f in frames]) if frames else np.zeros((1, 6))
+    points = (
+        np.stack([pg.features[f] for f in feat_ids]) if feat_ids else np.zeros((1, 3))
+    )
+    objects = (
+        np.stack([pg.objects[o].ellipsoid for o in obj_ids])
+        if obj_ids
+        else np.zeros((1, 7))
+    )
+    state = T.BAState(
+        poses=jnp.asarray(poses.astype(dtype)),
+        points=jnp.asarray(points.astype(dtype)),
+        objects=jnp.asarray(objects.astype(dtype)),
+    )
+
+    # --- reprojection table ------------------------------------------------
+    fx = np.asarray(cams.fx)
+    fy = np.asarray(cams.fy)
+    cx = np.asarray(cams.cx)
+    cy = np.asarray(cams.cy)
+    rp_pose, rp_point, rp_cam, rp_obs, rp_mult = [], [], [], [], []
+    for fid in reproj_rows:
+        vf = pg.visual_factors[fid]
+        ci = cam_idx_map[vf.camera_id]
+        rp_pose.append(pose_row_of[vf.frame_id])
+        rp_point.append(point_row_of[vf.feature_id])
+        rp_cam.append(ci)
+        rp_obs.append(
+            [
+                (vf.pixel[0] - cx[ci]) / fx[ci],
+                (vf.pixel[1] - cy[ci]) / fy[ci],
+            ]
+        )
+        rp_mult.append(
+            [
+                fx[ci] / vf.reprojection_error_std_dev,
+                fy[ci] / vf.reprojection_error_std_dev,
+            ]
+        )
+    reproj = T.make_reprojection_factors(
+        rp_pose, rp_point, rp_cam,
+        np.array(rp_obs).reshape(-1, 2) if rp_obs else np.zeros((0, 2)),
+        np.array(rp_mult).reshape(-1, 2) if rp_mult else np.zeros((0, 2)),
+        capacity=rp_cap, dtype=dtype,
+    )
+
+    # --- bbox table --------------------------------------------------------
+    bb_obj, bb_pose, bb_cam, bb_corners, bb_si = [], [], [], [], []
+    for fid in bbox_rows:
+        ob = pg.object_observations[fid]
+        ci = cam_idx_map[ob.camera_id]
+        bb_obj.append(obj_row_of[ob.object_id])
+        bb_pose.append(pose_row_of[ob.frame_id])
+        bb_cam.append(ci)
+        bb_corners.append(
+            [
+                (ob.corners[0] - cx[ci]) / fx[ci],
+                (ob.corners[1] - cx[ci]) / fx[ci],
+                (ob.corners[2] - cy[ci]) / fy[ci],
+                (ob.corners[3] - cy[ci]) / fy[ci],
+            ]
+        )
+        scale = np.diag([fx[ci], fx[ci], fy[ci], fy[ci]])
+        bb_si.append(_sqrt_inf(ob.covariance) @ scale)
+    bbox = T.make_bounding_box_factors(
+        bb_obj, bb_pose, bb_cam,
+        np.array(bb_corners).reshape(-1, 4) if bb_corners else np.zeros((0, 4)),
+        np.array(bb_si).reshape(-1, 4, 4) if bb_si else np.zeros((0, 4, 4)),
+        capacity=bb_cap, dtype=dtype,
+    )
+
+    # --- shape prior table -------------------------------------------------
+    sp_obj, sp_mean, sp_si = [], [], []
+    for sid in shape_rows:
+        sp = pg.shape_priors[sid]
+        sp_obj.append(obj_row_of[sp.object_id])
+        sp_mean.append(sp.mean)
+        sp_si.append(_sqrt_inf(sp.covariance))
+    shape = T.make_shape_prior_factors(
+        sp_obj,
+        np.array(sp_mean).reshape(-1, 3) if sp_mean else np.zeros((0, 3)),
+        np.array(sp_si).reshape(-1, 3, 3) if sp_si else np.zeros((0, 3, 3)),
+        capacity=sh_cap, dtype=dtype,
+    )
+
+    # --- relpose table -----------------------------------------------------
+    from obvi_slam_tpu import geometry as geo
+
+    rl_before, rl_after, rl_t, rl_r, rl_si = [], [], [], [], []
+    if synthesized_relpose is not None:
+        rl_items = [
+            (before, after, rel, cov) for before, after, rel, cov in synthesized_relpose
+        ]
+    else:
+        rl_items = [
+            (
+                pg.relpose_factors[fid].before_frame,
+                pg.relpose_factors[fid].after_frame,
+                pg.relpose_factors[fid].rel_pose,
+                pg.relpose_factors[fid].covariance,
+            )
+            for fid in relpose_rows
+        ]
+    for before, after, rel, cov in rl_items:
+        rl_before.append(pose_row_of[before])
+        rl_after.append(pose_row_of[after])
+        rl_t.append(rel[:3])
+        rl_r.append(np.asarray(geo.exp_so3(jnp.asarray(rel[3:6]))))
+        rl_si.append(_sqrt_inf(cov))
+    relpose = T.make_relative_pose_factors(
+        rl_before, rl_after,
+        np.array(rl_t).reshape(-1, 3) if rl_t else np.zeros((0, 3)),
+        np.array(rl_r).reshape(-1, 3, 3) if rl_r else np.zeros((0, 3, 3)),
+        np.array(rl_si).reshape(-1, 6, 6) if rl_si else np.zeros((0, 6, 6)),
+        capacity=rl_cap, dtype=dtype,
+    )
+
+    # --- LTM prior table ---------------------------------------------------
+    lt_obj, lt_mean, lt_si = [], [], []
+    for lid in ltm_rows:
+        f = pg.ltm_factors[lid]
+        lt_obj.append(obj_row_of[f.object_id])
+        lt_mean.append(f.mean)
+        lt_si.append(_sqrt_inf(f.covariance))
+    ltm = T.make_ltm_prior_factors(
+        lt_obj,
+        np.array(lt_mean).reshape(-1, 7) if lt_mean else np.zeros((0, 7)),
+        np.array(lt_si).reshape(-1, 7, 7) if lt_si else np.zeros((0, 7, 7)),
+        capacity=lt_cap, dtype=dtype,
+    )
+
+    tables = T.FactorTables(
+        reproj=reproj,
+        bbox=bbox,
+        shape=shape,
+        relpose=relpose,
+        ltm=ltm,
+        param_prior=T.empty_param_prior_factors(dtype=dtype),
+    )
+
+    # --- free masks --------------------------------------------------------
+    n_pose = state.poses.shape[0]
+    pose_free = np.ones(n_pose, dtype=bool)
+    if scope.fix_poses:
+        pose_free[:] = False
+    else:
+        if scope.min_frame_id == 0:
+            if 0 in pose_row_of:
+                pose_free[pose_row_of[0]] = False
+        else:
+            n_const = max(1, scope.poses_prior_to_window_to_keep_constant)
+            for k in range(n_const):
+                fr = scope.min_frame_id + k
+                if fr in pose_row_of:
+                    pose_free[pose_row_of[fr]] = False
+    point_free = np.ones(state.points.shape[0], dtype=bool)
+    if scope.fix_visual_features or not feat_ids:
+        point_free[:] = False
+    obj_free = np.ones(state.objects.shape[0], dtype=bool)
+    if scope.fix_objects or not obj_ids:
+        obj_free[:] = False
+    else:
+        if scope.fix_ltm_objects:
+            for o in obj_ids:
+                if o in pg.ltm_object_ids:
+                    obj_free[obj_row_of[o]] = False
+    free = T.FreeMasks(
+        poses=jnp.asarray(pose_free),
+        points=jnp.asarray(point_free),
+        objects=jnp.asarray(obj_free),
+    )
+
+    # --- weights -----------------------------------------------------------
+    def padv(v, cap):
+        out = np.zeros(cap, dtype=dtype)
+        out[: len(v)] = v
+        return jnp.asarray(out)
+
+    weights = schur_mod.FactorWeights(
+        reproj=padv(rp_w, rp_cap),
+        bbox=padv(bb_w, bb_cap),
+        shape=padv(sh_w, sh_cap),
+        relpose=padv(rl_w, rl_cap),
+        ltm=padv(lt_w, lt_cap),
+    )
+
+    plan_caps = {
+        k: caps[k] for k in ("pt_pair", "pt_cross", "ob_pair", "ob_cross") if k in caps
+    }
+    plan = schur_mod.build_schur_plan(tables, plan_caps or None)
+
+    if residual_params is not None:
+        huber = schur_mod.HuberParams(
+            reproj=residual_params.reprojection_error_huber_loss_param,
+            bbox=residual_params.object_residual_params.object_observation_huber_loss_param,
+            shape=residual_params.object_residual_params.shape_dim_prior_factor_huber_loss_param,
+            relpose=(
+                relpose_huber_override
+                if relpose_huber_override is not None
+                else residual_params.relative_pose_factor_huber_loss
+            ),
+            ltm=residual_params.ltm_pair_huber_loss_param,
+            invalid_ellipse_error=residual_params.object_residual_params.invalid_ellipsoid_error_val,
+        )
+    else:
+        huber = schur_mod.HuberParams(
+            relpose=relpose_huber_override if relpose_huber_override is not None else 1.0
+        )
+
+    return Problem(
+        state=state,
+        cams=cams,
+        tables=tables,
+        plan=plan,
+        free=free,
+        weights=weights,
+        huber=huber,
+        pose_rows=np.array(frames, dtype=np.int64),
+        point_rows=np.array(feat_ids, dtype=np.int64),
+        obj_rows=np.array(obj_ids, dtype=np.int64),
+        reproj_rows=reproj_rows,
+        bbox_rows=bbox_rows,
+        relpose_rows=relpose_rows,
+        shape_rows=shape_rows,
+        ltm_rows=ltm_rows,
+        scope=scope,
+        base_weights_np={
+            "reproj": rp_w,
+            "bbox": bb_w,
+            "shape": sh_w,
+            "relpose": rl_w,
+            "ltm": lt_w,
+        },
+    )
+
+
+def reweight_for_exclusions(
+    pg: PoseGraph, problem: Problem, excluded: Set[Tuple[int, int]]
+) -> schur_mod.FactorWeights:
+    """Phase-2 weights: recompute inclusion with outliers removed (the
+    reference rebuilds the problem with the exclusion set; we only swap the
+    weight vectors — same math, no rebuild)."""
+    rp_w, bb_w, sh_w, rl_w, lt_w, _, _ = compute_inclusion_weights(
+        pg,
+        problem.scope,
+        problem.reproj_rows,
+        problem.bbox_rows,
+        problem.relpose_rows,
+        problem.shape_rows,
+        problem.ltm_rows,
+        excluded,
+    )
+    dtype = problem.state.poses.dtype
+
+    def padv(v, cap):
+        out = np.zeros(cap, dtype=dtype)
+        out[: len(v)] = v
+        return jnp.asarray(out)
+
+    return schur_mod.FactorWeights(
+        reproj=padv(rp_w, problem.tables.reproj.capacity),
+        bbox=padv(bb_w, problem.tables.bbox.capacity),
+        shape=padv(sh_w, problem.tables.shape.capacity),
+        relpose=padv(rl_w, problem.tables.relpose.capacity),
+        ltm=padv(lt_w, problem.tables.ltm.capacity),
+    )
+
+
+def write_back(pg: PoseGraph, problem: Problem, state: T.BAState):
+    """Write optimized values back into the pose graph (free blocks only —
+    constant blocks are unchanged by construction but we skip them anyway)."""
+    poses = np.asarray(state.poses)
+    points = np.asarray(state.points)
+    objects = np.asarray(state.objects)
+    pose_free = np.asarray(problem.free.poses)
+    point_free = np.asarray(problem.free.points)
+    obj_free = np.asarray(problem.free.objects)
+    for i, frame in enumerate(problem.pose_rows):
+        if pose_free[i]:
+            pg.robot_poses[int(frame)] = poses[i].copy()
+    for i, feat in enumerate(problem.point_rows):
+        if point_free[i]:
+            pg.features[int(feat)] = points[i].copy()
+    for i, obj in enumerate(problem.obj_rows):
+        if obj_free[i]:
+            pg.objects[int(obj)].ellipsoid = objects[i].copy()

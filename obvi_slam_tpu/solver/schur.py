@@ -35,21 +35,30 @@ from obvi_slam_tpu.types import BAState, CameraBundle, FactorTables, FreeMasks
 
 
 class FactorWeights(NamedTuple):
-    """Per-residual-block external weights (1 = keep, 0 = excluded outlier).
+    """Per-residual-block external weights (1 = keep, 0 = excluded).
 
     Implements the two-phase outlier exclusion
-    (offline_problem_runner.h:670-801) without rebuilding the problem: an
-    excluded factor keeps its table row but contributes nothing.
+    (offline_problem_runner.h:670-801) AND the scope-dependent
+    inclusion rules (min-observation thresholds, feature-starved relpose
+    gating — object_pose_graph_optimizer.h:234-405) without rebuilding the
+    problem: a dropped factor keeps its table row but contributes nothing, so
+    phase-1/phase-2 solves share one jit signature.
     """
 
     reproj: jnp.ndarray  # (F,)
     bbox: jnp.ndarray  # (B,)
+    shape: jnp.ndarray  # (S,)
+    relpose: jnp.ndarray  # (R,)
+    ltm: jnp.ndarray  # (L,)
 
 
 def ones_weights(tables: FactorTables, dtype=jnp.float64):
     return FactorWeights(
         reproj=jnp.ones(tables.reproj.capacity, dtype=dtype),
         bbox=jnp.ones(tables.bbox.capacity, dtype=dtype),
+        shape=jnp.ones(tables.shape.capacity, dtype=dtype),
+        relpose=jnp.ones(tables.relpose.capacity, dtype=dtype),
+        ltm=jnp.ones(tables.ltm.capacity, dtype=dtype),
     )
 
 
@@ -268,14 +277,14 @@ def compute_step(
 
     r_sh, j_sh = fac.shape_residuals_and_jac(state, tables.shape)
     w_sh = _block_weight(
-        r_sh, huber.shape, jnp.ones_like(r_sh[:, 0]), tables.shape.mask.astype(dtype)
+        r_sh, huber.shape, weights.shape, tables.shape.mask.astype(dtype)
     )
     r_sh, (j_sh,) = _weighted(r_sh, [j_sh], w_sh)
     j_sh = j_sh * obj_free[tables.shape.obj_idx][:, None, None]
 
     r_rl, j_rl_b, j_rl_a = fac.relpose_residuals_and_jac(state, tables.relpose)
     w_rl = _block_weight(
-        r_rl, huber.relpose, jnp.ones_like(r_rl[:, 0]), tables.relpose.mask.astype(dtype)
+        r_rl, huber.relpose, weights.relpose, tables.relpose.mask.astype(dtype)
     )
     r_rl, (j_rl_b, j_rl_a) = _weighted(r_rl, [j_rl_b, j_rl_a], w_rl)
     j_rl_b = j_rl_b * pose_free[tables.relpose.before_idx][:, None, None]
@@ -283,7 +292,7 @@ def compute_step(
 
     r_lt, j_lt = fac.ltm_residuals_and_jac(state, tables.ltm)
     w_lt = _block_weight(
-        r_lt, huber.ltm, jnp.ones_like(r_lt[:, 0]), tables.ltm.mask.astype(dtype)
+        r_lt, huber.ltm, weights.ltm, tables.ltm.mask.astype(dtype)
     )
     r_lt, (j_lt,) = _weighted(r_lt, [j_lt], w_lt)
     j_lt = j_lt * obj_free[tables.ltm.obj_idx][:, None, None]
