@@ -1,0 +1,270 @@
+"""Long-term object map: extraction, serialization, next-session seeding.
+
+Re-design of the reference LTM subsystem
+(``long_term_object_map.h``, ``long_term_object_map_extraction.h/.cpp``,
+``long_term_map_factor_creator.h``):
+
+  extraction (end of session):
+    - drop features whose min distance to any observing pose exceeds
+      ``far_feature_threshold`` (75m) (extraction.cpp:122-183)
+    - full-trajectory problem with shape priors EXCLUDED and LTM objects
+      force-included (extraction.cpp:68-79)
+    - per-object 7x7 marginal covariance from the undamped robustified
+      Hessian (Schur point-elimination + dense inverse on device — replaces
+      ceres::Covariance + SuiteSparseQR)
+    - rank deficiency repair: Jacobian columns with norm < min_col_norm get a
+      weak scalar prior with 1/std = sqrt(min_col_norm - col_norm), then
+      retry (extraction.cpp:761-922)
+    - on failure, fall back to the previous session's map
+      (offline_object_visual_slam_main.cpp:1058-1068)
+
+  next session:
+    - LTM ellipsoids pre-inserted in the pose graph with known ids
+      (main.cpp:200-229) and one unary prior factor per observed LTM object
+      (long_term_map_factor_creator.h:246-323)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+from obvi_slam_tpu import config as cfg
+from obvi_slam_tpu import solver as slv
+from obvi_slam_tpu.pose_graph import PoseGraph
+from obvi_slam_tpu.solver.problem import Scope, build_problem
+from obvi_slam_tpu.timing import timer
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class LongTermObjectMap:
+    """IndependentEllipsoidsLongTermObjectMap (long_term_object_map.h:83-104)."""
+
+    # obj_id -> (semantic_class, ellipsoid 7-vec)
+    ellipsoids: Dict[int, tuple] = field(default_factory=dict)
+    # obj_id -> 7x7 covariance
+    covariances: Dict[int, np.ndarray] = field(default_factory=dict)
+    # obj_id -> frontend appearance payload (empty dict for feature-based FE)
+    front_end_data: Dict[int, dict] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "ellipsoids": {
+                str(k): [cls, np.asarray(e).tolist()]
+                for k, (cls, e) in self.ellipsoids.items()
+            },
+            "covariances": {
+                str(k): np.asarray(c).tolist() for k, c in self.covariances.items()
+            },
+            "front_end_data": {str(k): v for k, v in self.front_end_data.items()},
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "LongTermObjectMap":
+        return cls(
+            ellipsoids={
+                int(k): (v[0], np.array(v[1])) for k, v in d["ellipsoids"].items()
+            },
+            covariances={
+                int(k): np.array(v) for k, v in d["covariances"].items()
+            },
+            front_end_data={int(k): v for k, v in d["front_end_data"].items()},
+        )
+
+    def save(self, path: str):
+        with open(path, "w") as f:
+            json.dump(self.to_json(), f)
+
+    @classmethod
+    def load(cls, path: str) -> "LongTermObjectMap":
+        with open(path) as f:
+            return cls.from_json(json.load(f))
+
+
+def far_feature_ids(pg: PoseGraph, threshold: float):
+    """Features whose MIN distance to any observing pose exceeds threshold
+    (extraction.cpp:122-183)."""
+    far = set()
+    for feat_id, pos in pg.features.items():
+        min_dist = np.inf
+        for fid in pg.visual_factors_by_feature.get(feat_id, []):
+            frame = pg.visual_factors[fid].frame_id
+            pose = pg.get_robot_pose(frame)
+            if pose is None:
+                continue
+            min_dist = min(min_dist, float(np.linalg.norm(pos - pose[:3])))
+        if min_dist > threshold:
+            far.add(feat_id)
+    return far
+
+
+def extract_long_term_object_map(
+    pg: PoseGraph,
+    config: cfg.FullOVSLAMConfig,
+    front_end_data: Optional[Dict[int, dict]] = None,
+    prev_ltm: Optional[LongTermObjectMap] = None,
+    dtype=np.float64,
+) -> Optional[LongTermObjectMap]:
+    """extractLongTermObjectMap (long_term_object_map_extraction.h:433-527)."""
+    with timer("ltm_extraction"):
+        ltm = _extract(pg, config, front_end_data, dtype)
+    if ltm is None:
+        if (
+            config.ltm_tunable_params.fallback_to_prev_for_failed_extraction
+            and prev_ltm is not None
+        ):
+            logger.warning("LTM extraction failed; falling back to previous map")
+            return prev_ltm
+        return None
+    return ltm
+
+
+def _extract(pg, config, front_end_data, dtype):
+    max_frame = pg.max_frame_id()
+    if max_frame < 0 or not pg.objects:
+        return LongTermObjectMap(
+            ellipsoids={
+                o: (n.semantic_class, n.ellipsoid.copy()) for o, n in pg.objects.items()
+            },
+            covariances={},
+            front_end_data=front_end_data or {},
+        )
+
+    en = config.optimization_factors_enabled_params
+    scope = Scope(
+        min_frame_id=0,
+        max_frame_id=max_frame,
+        include_object_factors=True,
+        include_visual_factors=True,
+        poses_prior_to_window_to_keep_constant=en.poses_prior_to_window_to_keep_constant,
+        min_object_observations=en.min_object_observations,
+        min_low_level_feature_observations=en.min_low_level_feature_observations,
+        min_low_level_feature_observations_per_frame=en.min_low_level_feature_observations_per_frame,
+        force_include_ltm_objs=True,
+        include_shape_priors=False,  # extraction.cpp:68-69
+    )
+    problem = build_problem(
+        pg, scope, config.ltm_solver_residual_params, dtype=dtype
+    )
+
+    # Far-feature filter: zero the weights of their reprojection factors.
+    far = far_feature_ids(pg, config.ltm_tunable_params.far_feature_threshold)
+    weights = problem.weights
+    if far:
+        rp_w = np.asarray(weights.reproj).copy()
+        for i, fid in enumerate(problem.reproj_rows):
+            if pg.visual_factors[fid].feature_id in far:
+                rp_w[i] = 0.0
+        import jax.numpy as jnp
+
+        weights = weights._replace(reproj=jnp.asarray(rp_w))
+
+    covs, h_diag, ok = slv.schur.compute_marginal_covariances(
+        problem.state,
+        problem.cams,
+        problem.tables,
+        problem.plan,
+        problem.free,
+        weights,
+        problem.huber,
+    )
+    ok = bool(ok)
+
+    min_col_norm = config.ltm_tunable_params.min_col_norm
+    # Rank-deficiency detection: Jacobian column norms (sqrt of H diagonal).
+    col_norms_obj = np.sqrt(np.maximum(np.asarray(h_diag["object"]), 0.0))
+    col_norms_pose = np.sqrt(np.maximum(np.asarray(h_diag["pose"]), 0.0))
+    col_norms_point = np.sqrt(np.maximum(np.asarray(h_diag["point"]), 0.0))
+    free_np = {
+        "pose": np.asarray(problem.free.poses),
+        "point": np.asarray(problem.free.points),
+        "object": np.asarray(problem.free.objects),
+    }
+    deficient = []  # (kind_code, row, param_idx, mean, inv_std)
+    state_np = {
+        "pose": np.asarray(problem.state.poses),
+        "point": np.asarray(problem.state.points),
+        "object": np.asarray(problem.state.objects),
+    }
+    for kind_code, kind, norms in (
+        (0, "pose", col_norms_pose),
+        (1, "point", col_norms_point),
+        (2, "object", col_norms_obj),
+    ):
+        rows, cols = np.nonzero(
+            (norms < min_col_norm) & free_np[kind][:, None]
+        )
+        for r, c in zip(rows, cols):
+            inv_std = float(np.sqrt(max(min_col_norm - norms[r, c], 1e-30)))
+            deficient.append(
+                (kind_code, int(r), int(c), float(state_np[kind][r, c]), inv_std)
+            )
+
+    if (not ok) or deficient:
+        # Repair with weak scalar priors and retry (extraction.cpp:761-922).
+        from obvi_slam_tpu import types as T
+
+        if not deficient:
+            # Inversion failed without detected columns: prior every object
+            # param weakly (conservative rescue).
+            for r in range(state_np["object"].shape[0]):
+                for c in range(7):
+                    deficient.append(
+                        (2, r, c, float(state_np["object"][r, c]), float(np.sqrt(min_col_norm)))
+                    )
+        pp = T.make_param_prior_factors(
+            [d[0] for d in deficient],
+            [d[1] for d in deficient],
+            [d[2] for d in deficient],
+            [d[3] for d in deficient],
+            [d[4] for d in deficient],
+            dtype=dtype,
+        )
+        tables = problem.tables._replace(param_prior=pp)
+        covs, h_diag, ok = slv.schur.compute_marginal_covariances(
+            problem.state,
+            problem.cams,
+            tables,
+            problem.plan,
+            problem.free,
+            weights,
+            problem.huber,
+            ridge=min_col_norm,
+        )
+        if not bool(ok):
+            return None
+
+    covs = np.asarray(covs)
+    ellipsoids = {}
+    covariances = {}
+    obj_row_of = {int(o): i for i, o in enumerate(problem.obj_rows)}
+    for obj_id, node in pg.objects.items():
+        ellipsoids[obj_id] = (node.semantic_class, node.ellipsoid.copy())
+        if obj_id in obj_row_of:
+            covariances[obj_id] = covs[obj_row_of[obj_id]]
+        else:
+            # Object had no factors in the extraction problem (shouldn't
+            # happen with force-include, but stay safe).
+            covariances[obj_id] = np.eye(7)
+    return LongTermObjectMap(
+        ellipsoids=ellipsoids,
+        covariances=covariances,
+        front_end_data=front_end_data or {},
+    )
+
+
+def seed_pose_graph_from_ltm(pg: PoseGraph, ltm: LongTermObjectMap):
+    """Pre-insert LTM ellipsoids with known ids + one unary prior factor each
+    (main.cpp:200-229 + long_term_map_factor_creator.h:246-323)."""
+    for obj_id, (semantic_class, ellipsoid) in ltm.ellipsoids.items():
+        pg.add_ltm_object(obj_id, ellipsoid, semantic_class)
+        cov = ltm.covariances.get(obj_id)
+        if cov is not None:
+            pg.add_ltm_factor(obj_id, ellipsoid, cov)

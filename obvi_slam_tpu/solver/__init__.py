@@ -1,7 +1,9 @@
+from obvi_slam_tpu.solver import schur  # noqa: F401
 from obvi_slam_tpu.solver.schur import (  # noqa: F401
     FactorWeights,
     SchurPlan,
     build_schur_plan,
+    compute_marginal_covariances,
     compute_step,
     ones_weights,
 )

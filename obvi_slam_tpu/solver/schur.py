@@ -566,3 +566,224 @@ def compute_step(
 
     delta = BAState(poses=delta_p, points=delta_l, objects=delta_o)
     return delta, model_cost_change, grad_max
+
+
+def compute_marginal_covariances(
+    state: BAState,
+    cams: CameraBundle,
+    tables: FactorTables,
+    plan: SchurPlan,
+    free: FreeMasks,
+    weights: FactorWeights,
+    huber: HuberParams = HuberParams(),
+    return_reduced_hessian: bool = False,
+    ridge: float = 0.0,
+):
+    """Per-object marginal covariances at the current state.
+
+    Ceres-Covariance equivalent for LTM extraction
+    (long_term_object_map_extraction.h:466-516): builds the UNDAMPED
+    robustified Gauss-Newton Hessian, eliminates feature points analytically
+    (they only couple to poses), inverts the dense reduced (poses+objects)
+    system, and returns the 7x7 object diagonal blocks of the inverse.
+
+    Fixed blocks are decoupled (zero cross rows/cols + identity diagonal), so
+    remaining blocks equal the inverse of the sub-Hessian with fixed params
+    removed — matching Ceres' constant-parameter-block covariance semantics.
+
+    Returns (obj_covariances (K,7,7), h_diag dict with per-block-type Jacobian
+    column squared-norms for rank-deficiency detection, ok flag).
+    """
+    dtype = state.poses.dtype
+    n_pose = state.poses.shape[0]
+    n_point = state.points.shape[0]
+    n_obj = state.objects.shape[0]
+
+    pose_free = free.poses.astype(dtype)
+    point_free = free.points.astype(dtype)
+    obj_free = free.objects.astype(dtype)
+
+    r_rp, j_rp_pose, j_rp_point = fac.reproj_residuals_and_jac(state, cams, tables.reproj)
+    w_rp = _block_weight(r_rp, huber.reproj, weights.reproj, tables.reproj.mask.astype(dtype))
+    _, (j_rp_pose, j_rp_point) = _weighted(r_rp, [j_rp_pose, j_rp_point], w_rp)
+    j_rp_pose = j_rp_pose * pose_free[tables.reproj.pose_idx][:, None, None]
+    j_rp_point = j_rp_point * point_free[tables.reproj.point_idx][:, None, None]
+
+    r_bb, j_bb_obj, j_bb_pose = fac.bbox_residuals_and_jac(
+        state, cams, tables.bbox, huber.invalid_ellipse_error
+    )
+    w_bb = _block_weight(r_bb, huber.bbox, weights.bbox, tables.bbox.mask.astype(dtype))
+    _, (j_bb_obj, j_bb_pose) = _weighted(r_bb, [j_bb_obj, j_bb_pose], w_bb)
+    j_bb_obj = j_bb_obj * obj_free[tables.bbox.obj_idx][:, None, None]
+    j_bb_pose = j_bb_pose * pose_free[tables.bbox.pose_idx][:, None, None]
+
+    r_sh, j_sh = fac.shape_residuals_and_jac(state, tables.shape)
+    w_sh = _block_weight(r_sh, huber.shape, weights.shape, tables.shape.mask.astype(dtype))
+    _, (j_sh,) = _weighted(r_sh, [j_sh], w_sh)
+    j_sh = j_sh * obj_free[tables.shape.obj_idx][:, None, None]
+
+    r_rl, j_rl_b, j_rl_a = fac.relpose_residuals_and_jac(state, tables.relpose)
+    w_rl = _block_weight(r_rl, huber.relpose, weights.relpose, tables.relpose.mask.astype(dtype))
+    _, (j_rl_b, j_rl_a) = _weighted(r_rl, [j_rl_b, j_rl_a], w_rl)
+    j_rl_b = j_rl_b * pose_free[tables.relpose.before_idx][:, None, None]
+    j_rl_a = j_rl_a * pose_free[tables.relpose.after_idx][:, None, None]
+
+    r_lt, j_lt = fac.ltm_residuals_and_jac(state, tables.ltm)
+    w_lt = _block_weight(r_lt, huber.ltm, weights.ltm, tables.ltm.mask.astype(dtype))
+    _, (j_lt,) = _weighted(r_lt, [j_lt], w_lt)
+    j_lt = j_lt * obj_free[tables.ltm.obj_idx][:, None, None]
+
+    # ---- block Hessians (undamped) ----------------------------------------
+    h_ll = jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_rp_point, j_rp_point),
+        tables.reproj.point_idx,
+        num_segments=n_point,
+    )
+    h_oo = jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_bb_obj, j_bb_obj),
+        tables.bbox.obj_idx,
+        num_segments=n_obj,
+    )
+    h_oo += jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_sh, j_sh), tables.shape.obj_idx, num_segments=n_obj
+    )
+    h_oo += jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_lt, j_lt), tables.ltm.obj_idx, num_segments=n_obj
+    )
+    h_pp = jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_rp_pose, j_rp_pose),
+        tables.reproj.pose_idx,
+        num_segments=n_pose,
+    )
+    h_pp += jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_bb_pose, j_bb_pose),
+        tables.bbox.pose_idx,
+        num_segments=n_pose,
+    )
+    h_pp += jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_rl_b, j_rl_b),
+        tables.relpose.before_idx,
+        num_segments=n_pose,
+    )
+    h_pp += jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_rl_a, j_rl_a),
+        tables.relpose.after_idx,
+        num_segments=n_pose,
+    )
+
+    # Scalar param priors into diagonals (rank-deficiency repair factors).
+    pp = tables.param_prior
+    pp_live = pp.mask.astype(dtype)
+    pp_w2 = (pp.inv_std * pp.inv_std) * pp_live
+    is_pose = (pp.block_kind == 0).astype(dtype)
+    is_point = (pp.block_kind == 1).astype(dtype)
+    is_obj = (pp.block_kind == 2).astype(dtype)
+    pose_pi = jnp.clip(pp.param_idx, 0, 5)
+    point_pi = jnp.clip(pp.param_idx, 0, 2)
+    obj_pi = jnp.clip(pp.param_idx, 0, 6)
+    h_pp = h_pp.at[jnp.clip(pp.block_idx, 0, n_pose - 1), pose_pi, pose_pi].add(
+        pp_w2 * is_pose * pose_free[jnp.clip(pp.block_idx, 0, n_pose - 1)]
+    )
+    h_ll = h_ll.at[jnp.clip(pp.block_idx, 0, n_point - 1), point_pi, point_pi].add(
+        pp_w2 * is_point * point_free[jnp.clip(pp.block_idx, 0, n_point - 1)]
+    )
+    h_oo = h_oo.at[jnp.clip(pp.block_idx, 0, n_obj - 1), obj_pi, obj_pi].add(
+        pp_w2 * is_obj * obj_free[jnp.clip(pp.block_idx, 0, n_obj - 1)]
+    )
+
+    # Jacobian column squared-norms (rank-deficiency detection signal).
+    h_diag = {
+        "pose": jnp.diagonal(h_pp, axis1=-2, axis2=-1),
+        "point": jnp.diagonal(h_ll, axis1=-2, axis2=-1),
+        "object": jnp.diagonal(h_oo, axis1=-2, axis2=-1),
+    }
+
+    # ---- eliminate points --------------------------------------------------
+    eye3 = jnp.eye(3, dtype=dtype)
+    ll_active = (
+        jnp.abs(jnp.diagonal(h_ll, axis1=-2, axis2=-1)).sum(-1) > 1e-12
+    ) & free.points
+    h_ll_guarded = jnp.where(ll_active[:, None, None], h_ll, eye3)
+    h_ll_inv = jnp.linalg.inv(h_ll_guarded)
+    h_ll_inv = h_ll_inv * ll_active[:, None, None]
+
+    n_pt_pair = plan.pt_pair_pose.shape[0]
+    w_pt = jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_rp_pose, j_rp_point),
+        plan.rp_factor_pair,
+        num_segments=n_pt_pair,
+    ) * plan.pt_pair_mask[:, None, None].astype(dtype)
+
+    s_pp = jnp.zeros((n_pose, n_pose, 6, 6), dtype=dtype)
+    diag_idx = jnp.arange(n_pose)
+    s_pp = s_pp.at[diag_idx, diag_idx].add(h_pp)
+    rl_cross = jnp.einsum("fri,frj->fij", j_rl_b, j_rl_a)
+    s_pp = s_pp.at[tables.relpose.before_idx, tables.relpose.after_idx].add(rl_cross)
+    s_pp = s_pp.at[tables.relpose.after_idx, tables.relpose.before_idx].add(
+        jnp.swapaxes(rl_cross, -1, -2)
+    )
+    wha = jnp.einsum(
+        "cik,ckl->cil", w_pt[plan.pt_cross_a], h_ll_inv[plan.pt_pair_point[plan.pt_cross_a]]
+    )
+    cross = -jnp.einsum("cil,cjl->cij", wha, w_pt[plan.pt_cross_b])
+    cross = cross * plan.pt_cross_mask[:, None, None].astype(dtype)
+    s_pp = s_pp.at[
+        plan.pt_pair_pose[plan.pt_cross_a], plan.pt_pair_pose[plan.pt_cross_b]
+    ].add(cross)
+
+    # ---- pose-object coupling ----------------------------------------------
+    n_ob_pair = plan.ob_pair_pose.shape[0]
+    w_ob = jax.ops.segment_sum(
+        jnp.einsum("fri,frj->fij", j_bb_pose, j_bb_obj),
+        plan.bb_factor_pair,
+        num_segments=n_ob_pair,
+    ) * plan.ob_pair_mask[:, None, None].astype(dtype)
+    h_po = jnp.zeros((n_pose, n_obj, 6, 7), dtype=dtype)
+    h_po = h_po.at[plan.ob_pair_pose, plan.ob_pair_obj].add(w_ob)
+
+    # ---- assemble the dense reduced system ---------------------------------
+    dim = n_pose * 6 + n_obj * 7
+    a = jnp.zeros((dim, dim), dtype=dtype)
+    s_dense = s_pp.transpose(0, 2, 1, 3).reshape(n_pose * 6, n_pose * 6)
+    a = a.at[: n_pose * 6, : n_pose * 6].set(s_dense)
+    h_po_dense = h_po.transpose(0, 2, 1, 3).reshape(n_pose * 6, n_obj * 7)
+    a = a.at[: n_pose * 6, n_pose * 6 :].set(h_po_dense)
+    a = a.at[n_pose * 6 :, : n_pose * 6].set(h_po_dense.T)
+    oo_dense = jnp.zeros((n_obj, n_obj, 7, 7), dtype=dtype)
+    oo_dense = oo_dense.at[jnp.arange(n_obj), jnp.arange(n_obj)].set(h_oo)
+    a = a.at[n_pose * 6 :, n_pose * 6 :].set(
+        oo_dense.transpose(0, 2, 1, 3).reshape(n_obj * 7, n_obj * 7)
+    )
+
+    # Decouple fixed / inactive rows (identity diagonal).
+    pose_active = (
+        (jnp.abs(jnp.diagonal(h_pp, axis1=-2, axis2=-1)).sum(-1) > 1e-12) & free.poses
+    )
+    obj_active = (
+        (jnp.abs(jnp.diagonal(h_oo, axis1=-2, axis2=-1)).sum(-1) > 1e-12) & free.objects
+    )
+    act = jnp.concatenate(
+        [
+            jnp.repeat(pose_active.astype(dtype), 6),
+            jnp.repeat(obj_active.astype(dtype), 7),
+        ]
+    )
+    a = a * act[:, None] * act[None, :]
+    a = a + jnp.diag(1.0 - act)
+    # Rank-deficiency regularization (retry path): adds ``ridge`` information
+    # to every active parameter — the TPU-native equivalent of the reference's
+    # SuiteSparseQR-guided repair priors, which add (min_col_norm - col_norm)
+    # ~= min_col_norm information to deficient columns
+    # (long_term_object_map_extraction.cpp:761-922). Unobservable directions
+    # then get variance ~1/ridge instead of a singular inverse. Null
+    # directions that are linear COMBINATIONS of columns (invisible to
+    # column-norm checks) are covered too.
+    a = a + jnp.diag(act * ridge)
+
+    sigma = jnp.linalg.inv(a)
+    ok = jnp.all(jnp.isfinite(sigma))
+    sigma_obj = sigma[n_pose * 6 :, n_pose * 6 :].reshape(n_obj, 7, n_obj, 7)
+    obj_covs = sigma_obj[jnp.arange(n_obj), :, jnp.arange(n_obj), :]
+    if return_reduced_hessian:
+        return obj_covs, h_diag, ok, a
+    return obj_covs, h_diag, ok
