@@ -1,0 +1,134 @@
+"""Benchmark: global-BA LM iteration throughput on one TPU chip.
+
+Measures the framework's hot path — one full damped-Gauss-Newton iteration
+(all residuals + Jacobians + Huber weighting + Schur landmark elimination +
+dense reduced-camera solve + back-substitution + cost evaluation) on a
+representative global-BA problem (256 poses, 4096 points, 32 objects,
+~24k reprojection + ~380 bbox factors), f32.
+
+Baseline: the identical computation on the host CPU (stand-in for the
+reference's CPU-bound Ceres SPARSE_SCHUR solve, which runs 20 threads on a
+comparable problem class — the reference itself publishes no numbers,
+BASELINE.md). ``vs_baseline`` = TPU iters/s / CPU iters/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(dtype=np.float32):
+    from obvi_slam_tpu.synthetic import synthetic_problem
+
+    return synthetic_problem(
+        n_poses=256,
+        n_points=4096,
+        n_objects=32,
+        obs_per_point=6,
+        obs_per_object=12,
+        dtype=dtype,
+    )
+
+
+def make_step(huber):
+    import obvi_slam_tpu.factors as fac
+    from obvi_slam_tpu.solver import schur as schur_mod
+    from obvi_slam_tpu.types import BAState
+
+    def lm_iteration(state, cams, tables, plan, free, weights, radius):
+        delta, model_change, grad_max = schur_mod.compute_step(
+            state, cams, tables, plan, free, weights, radius, huber
+        )
+        new_state = BAState(
+            poses=state.poses + delta.poses * free.poses[:, None],
+            points=state.points + delta.points * free.points[:, None],
+            objects=state.objects + delta.objects * free.objects[:, None],
+        )
+        new_cost = fac.total_cost(
+            new_state,
+            cams,
+            tables,
+            huber_reproj=huber.reproj,
+            huber_bbox=huber.bbox,
+            huber_shape=huber.shape,
+            huber_relpose=huber.relpose,
+            huber_ltm=huber.ltm,
+            invalid_error=huber.invalid_ellipse_error,
+            reproj_weight=weights.reproj,
+            bbox_weight=weights.bbox,
+            shape_weight=weights.shape,
+            relpose_weight=weights.relpose,
+            ltm_weight=weights.ltm,
+        )
+        return new_state, new_cost
+
+    return lm_iteration
+
+
+def time_iters(device, problem, lm_iteration, n_iters, warmup=2):
+    state0, _, cams, tables, plan, free, weights, huber = problem
+    put = lambda t: jax.device_put(t, device)
+    state0, cams, tables, plan, free, weights = (
+        put(state0),
+        put(cams),
+        put(tables),
+        put(plan),
+        put(free),
+        put(weights),
+    )
+    step = jax.jit(lm_iteration, device=device) if hasattr(jax.jit, "device") else jax.jit(lm_iteration)
+    radius = jax.device_put(jnp.asarray(1e4, state0.poses.dtype), device)
+    state = state0
+    for _ in range(warmup):
+        state, cost = step(state, cams, tables, plan, free, weights, radius)
+    cost.block_until_ready()
+    state = state0
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, cost = step(state, cams, tables, plan, free, weights, radius)
+    cost.block_until_ready()
+    dt = time.perf_counter() - t0
+    return n_iters / dt, float(cost)
+
+
+def main():
+    problem = build()
+
+    devices = jax.devices()
+    accel = [d for d in devices if d.platform != "cpu"]
+    cpu = jax.devices("cpu")[0] if accel else devices[0]
+
+    lm_iteration = make_step(problem[-1])
+
+    target = accel[0] if accel else devices[0]
+    tpu_ips, tpu_cost = time_iters(target, problem, lm_iteration, n_iters=20)
+
+    try:
+        cpu_ips, _ = time_iters(cpu, problem, lm_iteration, n_iters=5)
+    except Exception:
+        cpu_ips = float("nan")
+
+    vs = tpu_ips / cpu_ips if cpu_ips == cpu_ips and cpu_ips > 0 else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "global_ba_lm_iters_per_s",
+                "value": round(tpu_ips, 3),
+                "unit": "iter/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,8 @@
+from obvi_slam_tpu.parallel.sharding import (  # noqa: F401
+    make_mesh,
+    shard_plan,
+    shard_problem,
+    shard_tables,
+    shard_weights,
+    sharded_compute_step,
+)
