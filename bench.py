@@ -75,6 +75,10 @@ def make_step(huber):
 
 
 def time_iters(device, problem, lm_iteration, n_iters, warmup=2):
+    """Fused on-device LM: time full solves, report iterations/s."""
+    from obvi_slam_tpu.solver import lm_fused
+    from obvi_slam_tpu.solver.lm import LMParams
+
     state0, _, cams, tables, plan, free, weights, huber = problem
     put = lambda t: jax.device_put(t, device)
     state0, cams, tables, plan, free, weights = (
@@ -85,19 +89,31 @@ def time_iters(device, problem, lm_iteration, n_iters, warmup=2):
         put(free),
         put(weights),
     )
-    step = jax.jit(lm_iteration, device=device) if hasattr(jax.jit, "device") else jax.jit(lm_iteration)
-    radius = jax.device_put(jnp.asarray(1e4, state0.poses.dtype), device)
-    state = state0
-    for _ in range(warmup):
-        state, cost = step(state, cams, tables, plan, free, weights, radius)
-    cost.block_until_ready()
-    state = state0
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state, cost = step(state, cams, tables, plan, free, weights, radius)
-    cost.block_until_ready()
-    dt = time.perf_counter() - t0
-    return n_iters / dt, float(cost)
+    # Fixed iteration count (tolerances off) so every run does the same work.
+    params = LMParams(
+        max_num_iterations=n_iters,
+        function_tolerance=0.0,
+        gradient_tolerance=0.0,
+        parameter_tolerance=0.0,
+    )
+    dense_schur = device.platform != "cpu"
+    with jax.default_device(device):
+        final, _ = lm_fused.solve_fused_jit(
+            state0, cams, tables, plan, free, weights, params, huber,
+            dense_schur=dense_schur,
+        )
+        final.cost.block_until_ready()  # warmup + compile
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            final, _ = lm_fused.solve_fused_jit(
+                state0, cams, tables, plan, free, weights, params, huber,
+                dense_schur=dense_schur,
+            )
+        final.cost.block_until_ready()
+        dt = time.perf_counter() - t0
+    total_iters = reps * int(final.it)
+    return total_iters / dt, float(final.cost)
 
 
 def main():

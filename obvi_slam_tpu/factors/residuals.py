@@ -113,18 +113,19 @@ def bbox_residuals(state: BAState, cams: CameraBundle, f, invalid_error=1e6):
 
 
 def bbox_residuals_and_jac(state: BAState, cams: CameraBundle, f, invalid_error=1e6):
-    """Returns (r (B,4), J_obj (B,4,7), J_pose (B,4,6)), mask-zeroed."""
-    jac = jax.vmap(
-        jax.jacfwd(_bbox_single, argnums=(0, 1)),
-        in_axes=(0, 0, 0, 0, 0, 0, None),
-    )
+    """Returns (r (B,4), J_obj (B,4,7), J_pose (B,4,6)), mask-zeroed.
+    Single traversal: jacfwd with has_aux returns residuals alongside."""
+
+    def single_with_aux(obj, pose, cam_r, cam_t, corners, sqrt_inf):
+        r = _bbox_single(obj, pose, cam_r, cam_t, corners, sqrt_inf, invalid_error)
+        return r, r
+
+    jac = jax.vmap(jax.jacfwd(single_with_aux, argnums=(0, 1), has_aux=True))
     obj = state.objects[f.obj_idx]
     pose = state.poses[f.pose_idx]
     cam_r = cams.cam_from_robot_r[f.cam_idx]
     cam_t = cams.cam_from_robot_t[f.cam_idx]
-    single = jax.vmap(_bbox_single, in_axes=(0, 0, 0, 0, 0, 0, None))
-    r = single(obj, pose, cam_r, cam_t, f.rect_corners, f.sqrt_inf, invalid_error)
-    j_obj, j_pose = jac(obj, pose, cam_r, cam_t, f.rect_corners, f.sqrt_inf, invalid_error)
+    (j_obj, j_pose), r = jac(obj, pose, cam_r, cam_t, f.rect_corners, f.sqrt_inf)
     m = f.mask
     return (
         jnp.where(m[:, None], r, 0.0),
@@ -180,12 +181,17 @@ def relpose_residuals(state: BAState, f):
 
 
 def relpose_residuals_and_jac(state: BAState, f):
-    """Returns (r (R,6), J_before (R,6,6), J_after (R,6,6))."""
-    jac = jax.vmap(jax.jacfwd(_relpose_single, argnums=(0, 1)))
+    """Returns (r (R,6), J_before (R,6,6), J_after (R,6,6)).
+    Single traversal via jacfwd with has_aux."""
+
+    def single_with_aux(pb, pa, mt, mr, si):
+        r = _relpose_single(pb, pa, mt, mr, si)
+        return r, r
+
+    jac = jax.vmap(jax.jacfwd(single_with_aux, argnums=(0, 1), has_aux=True))
     pb = state.poses[f.before_idx]
     pa = state.poses[f.after_idx]
-    r = jax.vmap(_relpose_single)(pb, pa, f.meas_t, f.meas_r, f.sqrt_inf)
-    j_before, j_after = jac(pb, pa, f.meas_t, f.meas_r, f.sqrt_inf)
+    (j_before, j_after), r = jac(pb, pa, f.meas_t, f.meas_r, f.sqrt_inf)
     m = f.mask
     return (
         jnp.where(m[:, None], r, 0.0),

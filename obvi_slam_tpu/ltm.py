@@ -79,6 +79,9 @@ class LongTermObjectMap:
         )
 
     def save(self, path: str):
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         with open(path, "w") as f:
             json.dump(self.to_json(), f)
 

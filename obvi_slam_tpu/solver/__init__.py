@@ -12,3 +12,4 @@ from obvi_slam_tpu.solver.lm import (  # noqa: F401
     LMSummary,
     solve,
 )
+from obvi_slam_tpu.solver.lm_fused import solve_fused  # noqa: F401

@@ -1,0 +1,294 @@
+"""Fully on-device Levenberg-Marquardt: the whole trust-region loop as one
+XLA computation (``lax.while_loop``).
+
+Same Ceres semantics as ``solver.lm`` (accept/reject on relative decrease,
+radius update, function/gradient/parameter tolerances, non-monotonic steps)
+but with ZERO host round-trips per iteration — one dispatch per solve. On TPU
+this removes the per-iteration host<->device latency that dominates the
+host-loop variant; per-iteration records are returned as fixed-size arrays
+for IterationLogger parity.
+
+Termination codes: 0 = running, 1 = FUNCTION_TOLERANCE, 2 = GRADIENT_TOLERANCE,
+3 = PARAMETER_TOLERANCE, 4 = MIN_TRUST_REGION, 5 = MAX_ITERATIONS.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from obvi_slam_tpu import factors as fac
+from obvi_slam_tpu.solver import schur as schur_mod
+from obvi_slam_tpu.solver.lm import IterationRecord, LMParams, LMSummary
+from obvi_slam_tpu.types import BAState
+
+TERMINATION_NAMES = {
+    1: "FUNCTION_TOLERANCE",
+    2: "GRADIENT_TOLERANCE",
+    3: "PARAMETER_TOLERANCE",
+    4: "MIN_TRUST_REGION",
+    5: "MAX_ITERATIONS",
+}
+
+
+class _Carry(NamedTuple):
+    state: BAState
+    cost: jnp.ndarray
+    radius: jnp.ndarray
+    decrease_factor: jnp.ndarray
+    it: jnp.ndarray
+    term: jnp.ndarray  # 0 = running
+    num_success: jnp.ndarray
+    num_fail: jnp.ndarray
+    # Non-monotonic bookkeeping (Ceres TrustRegionMinimizer).
+    candidate_cost: jnp.ndarray
+    reference_cost: jnp.ndarray
+    acc_candidate_changes: jnp.ndarray
+    acc_reference_changes: jnp.ndarray
+    num_consecutive_nonmonotonic: jnp.ndarray
+    # Per-iteration records.
+    rec_cost: jnp.ndarray
+    rec_change: jnp.ndarray
+    rec_step_norm: jnp.ndarray
+    rec_radius: jnp.ndarray
+    rec_accepted: jnp.ndarray
+
+
+def _cost_fn(state, cams, tables, weights, huber):
+    return fac.total_cost(
+        state,
+        cams,
+        tables,
+        huber_reproj=huber.reproj,
+        huber_bbox=huber.bbox,
+        huber_shape=huber.shape,
+        huber_relpose=huber.relpose,
+        huber_ltm=huber.ltm,
+        invalid_error=huber.invalid_ellipse_error,
+        reproj_weight=weights.reproj,
+        bbox_weight=weights.bbox,
+        shape_weight=weights.shape,
+        relpose_weight=weights.relpose,
+        ltm_weight=weights.ltm,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("params", "huber", "dense_schur"))
+def solve_fused_jit(
+    state, cams, tables, plan, free, weights, params: LMParams, huber,
+    dense_schur=None,
+):
+    dtype = state.poses.dtype
+    max_it = params.max_num_iterations
+
+    def zero_records():
+        z = jnp.zeros((max(max_it, 1),), dtype=dtype)
+        return z, z, z, z, jnp.zeros((max(max_it, 1),), dtype=bool)
+
+    init_cost = _cost_fn(state, cams, tables, weights, huber)
+    rc, rch, rsn, rr, ra = zero_records()
+    carry = _Carry(
+        state=state,
+        cost=init_cost,
+        radius=jnp.asarray(params.initial_trust_region_radius, dtype),
+        decrease_factor=jnp.asarray(2.0, dtype),
+        it=jnp.asarray(0, jnp.int32),
+        term=jnp.asarray(0, jnp.int32),
+        num_success=jnp.asarray(0, jnp.int32),
+        num_fail=jnp.asarray(0, jnp.int32),
+        candidate_cost=init_cost,
+        reference_cost=init_cost,
+        acc_candidate_changes=jnp.asarray(0.0, dtype),
+        acc_reference_changes=jnp.asarray(0.0, dtype),
+        num_consecutive_nonmonotonic=jnp.asarray(0, jnp.int32),
+        rec_cost=rc,
+        rec_change=rch,
+        rec_step_norm=rsn,
+        rec_radius=rr,
+        rec_accepted=ra,
+    )
+
+    def cond(c: _Carry):
+        return (c.term == 0) & (c.it < max_it)
+
+    def body(c: _Carry):
+        delta, model_change, grad_max = schur_mod.compute_step(
+            c.state, cams, tables, plan, free, weights, c.radius, huber,
+            dense_schur=dense_schur,
+        )
+        new_state = BAState(
+            poses=c.state.poses + delta.poses * free.poses[:, None],
+            points=c.state.points + delta.points * free.points[:, None],
+            objects=c.state.objects + delta.objects * free.objects[:, None],
+        )
+        new_cost = _cost_fn(new_state, cams, tables, weights, huber)
+        step2 = (
+            jnp.sum(delta.poses**2)
+            + jnp.sum(delta.points**2)
+            + jnp.sum(delta.objects**2)
+        )
+        x2 = (
+            jnp.sum(c.state.poses**2)
+            + jnp.sum(c.state.points**2)
+            + jnp.sum(c.state.objects**2)
+        )
+        step_norm = jnp.sqrt(step2)
+        x_norm = jnp.sqrt(x2)
+
+        cost_change = c.cost - new_cost
+        valid_model = model_change > 0
+        rho = jnp.where(valid_model, cost_change / jnp.maximum(model_change, 1e-300), -1.0)
+        if params.allow_non_monotonic_steps:
+            hist_rho = (c.reference_cost - new_cost) / jnp.maximum(model_change, 1e-300)
+            relative_decrease = jnp.maximum(rho, hist_rho)
+        else:
+            relative_decrease = rho
+        accepted = valid_model & (relative_decrease > params.min_relative_decrease)
+
+        # Radius update.
+        shrink = c.radius / c.decrease_factor
+        grow = jnp.minimum(
+            c.radius / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+            params.max_trust_region_radius,
+        )
+        new_radius = jnp.where(accepted, grow, shrink)
+        new_decrease = jnp.where(accepted, 2.0, c.decrease_factor * 2.0)
+
+        # Termination checks.
+        grad_conv = grad_max <= params.gradient_tolerance
+        func_conv = accepted & (
+            jnp.abs(cost_change) <= params.function_tolerance * c.cost
+        )
+        param_conv = accepted & (
+            step_norm <= params.parameter_tolerance * (x_norm + params.parameter_tolerance)
+        )
+        radius_conv = (~accepted) & (new_radius < params.min_trust_region_radius)
+        term = jnp.where(
+            grad_conv,
+            2,
+            jnp.where(
+                func_conv, 1, jnp.where(param_conv, 3, jnp.where(radius_conv, 4, 0))
+            ),
+        ).astype(jnp.int32)
+
+        # Non-monotonic bookkeeping on accepted steps.
+        if params.allow_non_monotonic_steps:
+            acc_cand = c.acc_candidate_changes + cost_change
+            acc_ref = c.acc_reference_changes + cost_change
+            better_candidate = new_cost < c.candidate_cost
+            cand_cost = jnp.where(better_candidate, new_cost, c.candidate_cost)
+            acc_cand = jnp.where(better_candidate, 0.0, acc_cand)
+            monotonic = cost_change >= 0
+            n_nm = jnp.where(monotonic, 0, c.num_consecutive_nonmonotonic + 1)
+            hit_limit = n_nm >= params.max_consecutive_nonmonotonic_steps
+            ref_cost = jnp.where(
+                monotonic, new_cost, jnp.where(hit_limit, cand_cost, c.reference_cost)
+            )
+            acc_ref = jnp.where(
+                monotonic, 0.0, jnp.where(hit_limit, acc_cand, acc_ref)
+            )
+            cand_cost = jnp.where(accepted, cand_cost, c.candidate_cost)
+            ref_cost = jnp.where(accepted, ref_cost, c.reference_cost)
+            acc_cand = jnp.where(accepted, acc_cand, c.acc_candidate_changes)
+            acc_ref = jnp.where(accepted, acc_ref, c.acc_reference_changes)
+            n_nm = jnp.where(accepted, n_nm, c.num_consecutive_nonmonotonic)
+        else:
+            cand_cost = c.candidate_cost
+            ref_cost = c.reference_cost
+            acc_cand = c.acc_candidate_changes
+            acc_ref = c.acc_reference_changes
+            n_nm = c.num_consecutive_nonmonotonic
+
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(accepted, x, y), a, b
+        )
+        out_state = sel(new_state, c.state)
+        out_cost = jnp.where(accepted, new_cost, c.cost)
+
+        i = c.it
+        return _Carry(
+            state=out_state,
+            cost=out_cost,
+            radius=new_radius,
+            decrease_factor=new_decrease,
+            it=i + 1,
+            term=term,
+            num_success=c.num_success + accepted.astype(jnp.int32),
+            num_fail=c.num_fail + (~accepted).astype(jnp.int32),
+            candidate_cost=cand_cost,
+            reference_cost=ref_cost,
+            acc_candidate_changes=acc_cand,
+            acc_reference_changes=acc_ref,
+            num_consecutive_nonmonotonic=n_nm,
+            rec_cost=c.rec_cost.at[i].set(c.cost),
+            rec_change=c.rec_change.at[i].set(jnp.where(accepted, cost_change, 0.0)),
+            rec_step_norm=c.rec_step_norm.at[i].set(
+                jnp.where(accepted, step_norm, 0.0)
+            ),
+            rec_radius=c.rec_radius.at[i].set(new_radius),
+            rec_accepted=c.rec_accepted.at[i].set(accepted),
+        )
+
+    final = jax.lax.while_loop(cond, body, carry)
+    term = jnp.where(final.term == 0, 5, final.term)
+    return final._replace(term=term), init_cost
+
+
+def solve_fused(
+    state,
+    cams,
+    tables,
+    plan,
+    free,
+    weights=None,
+    params: LMParams = LMParams(),
+    huber: schur_mod.HuberParams = schur_mod.HuberParams(),
+    with_records: bool = False,
+):
+    """Drop-in replacement for solver.lm.solve with one device dispatch."""
+    if weights is None:
+        weights = schur_mod.ones_weights(tables, dtype=state.poses.dtype)
+    if params.max_num_iterations == 0:
+        init_cost = float(
+            jax.jit(_cost_fn, static_argnames=("huber",))(
+                state, cams, tables, weights, huber
+            )
+        )
+        s = LMSummary()
+        s.initial_cost = init_cost
+        s.final_cost = init_cost
+        s.termination = "MAX_ITERATIONS"
+        return state, s
+
+    final, init_cost = solve_fused_jit(
+        state, cams, tables, plan, free, weights, params, huber
+    )
+    summary = LMSummary()
+    summary.initial_cost = float(init_cost)
+    summary.final_cost = float(final.cost)
+    summary.num_iterations = int(final.it)
+    summary.num_successful_steps = int(final.num_success)
+    summary.num_unsuccessful_steps = int(final.num_fail)
+    summary.termination = TERMINATION_NAMES[int(final.term)]
+    if with_records:
+        n = int(final.it)
+        rec_cost = final.rec_cost[:n]
+        rec_change = final.rec_change[:n]
+        rec_sn = final.rec_step_norm[:n]
+        rec_r = final.rec_radius[:n]
+        rec_a = final.rec_accepted[:n]
+        summary.iterations = [
+            IterationRecord(
+                i,
+                float(rec_cost[i]),
+                float(rec_change[i]),
+                float(rec_sn[i]),
+                float(rec_r[i]),
+                bool(rec_a[i]),
+            )
+            for i in range(n)
+        ]
+    return final.state, summary

@@ -87,9 +87,13 @@ class SchurPlan(NamedTuple):
     pt_pair_pose: jnp.ndarray  # (Np,)
     pt_pair_point: jnp.ndarray  # (Np,)
     pt_pair_mask: jnp.ndarray  # (Np,)
-    pt_cross_a: jnp.ndarray  # (Ncp,)
+    pt_cross_a: jnp.ndarray  # (Ncp,) sorted by destination segment
     pt_cross_b: jnp.ndarray  # (Ncp,)
     pt_cross_mask: jnp.ndarray  # (Ncp,)
+    pt_cross_dest: jnp.ndarray  # (Ncp,) cross row -> destination row
+    pt_dest_a: jnp.ndarray  # (Nd,) unique destination (pose_a, pose_b)
+    pt_dest_b: jnp.ndarray  # (Nd,)
+    pt_dest_mask: jnp.ndarray  # (Nd,)
     # Objects (from bounding-box factors).
     bb_factor_pair: jnp.ndarray  # (B,) factor row -> object-pair row
     ob_pair_pose: jnp.ndarray  # (No,)
@@ -98,6 +102,10 @@ class SchurPlan(NamedTuple):
     ob_cross_a: jnp.ndarray  # (Nco,)
     ob_cross_b: jnp.ndarray  # (Nco,)
     ob_cross_mask: jnp.ndarray  # (Nco,)
+    ob_cross_dest: jnp.ndarray  # (Nco,)
+    ob_dest_a: jnp.ndarray  # (Ndo,)
+    ob_dest_b: jnp.ndarray  # (Ndo,)
+    ob_dest_mask: jnp.ndarray  # (Ndo,)
 
 
 def _round_up(n, bucket=64):
@@ -132,11 +140,31 @@ def _build_pairs(block_idx, land_idx, mask, pair_cap=None, cross_cap=None):
     cross_a = np.concatenate(cross_a) if cross_a else np.zeros(0, dtype=np.int64)
     cross_b = np.concatenate(cross_b) if cross_b else np.zeros(0, dtype=np.int64)
 
+    # Destination dedup: many cross rows target the same (pose_a, pose_b)
+    # block of S (every shared landmark of a pose pair). Group them so the
+    # device combines with a SORTED segment_sum and scatters only unique
+    # destinations (conflict-free-ish) instead of 10-100x more rows.
+    if n_pairs and len(cross_a):
+        dest_keys = np.stack(
+            [uniq[cross_a, 0].astype(np.int64), uniq[cross_b, 0].astype(np.int64)],
+            axis=1,
+        )
+        dest_uniq, dest_inv = np.unique(dest_keys, axis=0, return_inverse=True)
+        order = np.argsort(dest_inv, kind="stable")
+        cross_a = cross_a[order]
+        cross_b = cross_b[order]
+        cross_dest = dest_inv[order]
+    else:
+        dest_uniq = np.zeros((0, 2), dtype=np.int64)
+        cross_dest = np.zeros(0, dtype=np.int64)
+    n_dest = len(dest_uniq)
+
     pair_cap = pair_cap or _round_up(n_pairs)
     cross_cap = cross_cap or _round_up(len(cross_a))
+    dest_cap = _round_up(n_dest)
 
-    def pad_i(x, cap):
-        out = np.zeros(cap, dtype=np.int32)
+    def pad_i(x, cap, fill=0):
+        out = np.full(cap, fill, dtype=np.int32)
         out[: len(x)] = x
         return out
 
@@ -144,6 +172,12 @@ def _build_pairs(block_idx, land_idx, mask, pair_cap=None, cross_cap=None):
     pair_mask[:n_pairs] = True
     cross_mask = np.zeros(cross_cap, dtype=bool)
     cross_mask[: len(cross_a)] = True
+    dest_mask = np.zeros(dest_cap, dtype=bool)
+    dest_mask[:n_dest] = True
+    # Padding cross rows point at a padding destination (n_dest) so they
+    # never contaminate a live destination; padding dest rows scatter a zero
+    # block at (0, 0) which is harmless.
+    cross_dest_padded = pad_i(cross_dest, cross_cap, fill=min(n_dest, dest_cap - 1))
     return (
         factor_pair,
         pad_i(uniq[:, 0] if n_pairs else [], pair_cap),
@@ -152,6 +186,10 @@ def _build_pairs(block_idx, land_idx, mask, pair_cap=None, cross_cap=None):
         pad_i(cross_a, cross_cap),
         pad_i(cross_b, cross_cap),
         cross_mask,
+        cross_dest_padded,
+        pad_i(dest_uniq[:, 0] if n_dest else [], dest_cap),
+        pad_i(dest_uniq[:, 1] if n_dest else [], dest_cap),
+        dest_mask,
     )
 
 
@@ -170,6 +208,10 @@ def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
         pt_cross_a,
         pt_cross_b,
         pt_cross_mask,
+        pt_cross_dest,
+        pt_dest_a,
+        pt_dest_b,
+        pt_dest_mask,
     ) = _build_pairs(
         np.asarray(rp.pose_idx),
         np.asarray(rp.point_idx),
@@ -186,6 +228,10 @@ def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
         ob_cross_a,
         ob_cross_b,
         ob_cross_mask,
+        ob_cross_dest,
+        ob_dest_a,
+        ob_dest_b,
+        ob_dest_mask,
     ) = _build_pairs(
         np.asarray(bb.pose_idx),
         np.asarray(bb.obj_idx),
@@ -201,6 +247,10 @@ def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
         pt_cross_a=jnp.asarray(pt_cross_a),
         pt_cross_b=jnp.asarray(pt_cross_b),
         pt_cross_mask=jnp.asarray(pt_cross_mask),
+        pt_cross_dest=jnp.asarray(pt_cross_dest),
+        pt_dest_a=jnp.asarray(pt_dest_a),
+        pt_dest_b=jnp.asarray(pt_dest_b),
+        pt_dest_mask=jnp.asarray(pt_dest_mask),
         bb_factor_pair=jnp.asarray(bb_factor_pair),
         ob_pair_pose=jnp.asarray(ob_pair_pose),
         ob_pair_obj=jnp.asarray(ob_pair_obj),
@@ -208,6 +258,10 @@ def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
         ob_cross_a=jnp.asarray(ob_cross_a),
         ob_cross_b=jnp.asarray(ob_cross_b),
         ob_cross_mask=jnp.asarray(ob_cross_mask),
+        ob_cross_dest=jnp.asarray(ob_cross_dest),
+        ob_dest_a=jnp.asarray(ob_dest_a),
+        ob_dest_b=jnp.asarray(ob_dest_b),
+        ob_dest_mask=jnp.asarray(ob_dest_mask),
     )
 
 
@@ -242,12 +296,18 @@ def compute_step(
     weights: FactorWeights,
     radius,
     huber: HuberParams = HuberParams(),
+    dense_schur: bool = None,
 ):
     """One damped Gauss-Newton (LM) step.
 
     Returns (delta_state: BAState, model_cost_change, grad_max).
     The trust-region radius enters as Ceres' LM damping
     H + diag(clamp(diag(H))) / radius.
+
+    ``dense_schur``: materialize U = (6P, 3M) block-sparse pose-point coupling
+    densely and compute the Schur subtraction as ONE MXU matmul
+    (U Hll^-1) U^T instead of enumerating per-landmark pose pairs. Wins
+    whenever U fits comfortably in HBM; auto-enabled below ~256M elements.
     """
     dtype = state.poses.dtype
     n_pose = state.poses.shape[0]
@@ -259,7 +319,11 @@ def compute_step(
     obj_free = free.objects.astype(dtype)
 
     # ---- residuals + jacobians, robustified ------------------------------
-    r_rp, j_rp_pose, j_rp_point = fac.reproj_residuals_and_jac(state, cams, tables.reproj)
+    from obvi_slam_tpu.factors.reproj_fast import reproj_residuals_and_jac_fast
+
+    r_rp, j_rp_pose, j_rp_point = reproj_residuals_and_jac_fast(
+        state, cams, tables.reproj
+    )
     w_rp = _block_weight(
         r_rp, huber.reproj, weights.reproj, tables.reproj.mask.astype(dtype)
     )
@@ -468,23 +532,43 @@ def compute_step(
     s_blocks = s_blocks.at[tables.relpose.after_idx, tables.relpose.before_idx].add(
         jnp.swapaxes(rl_cross, -1, -2)
     )
-    # Schur subtraction: -W_a Hll^-1 W_b^T over cross pairs.
-    wha_pt = jnp.einsum(
-        "cik,ckl->cil", w_pt[plan.pt_cross_a], h_ll_inv[plan.pt_pair_point[plan.pt_cross_a]]
-    )
-    cross_pt = -jnp.einsum("cil,cjl->cij", wha_pt, w_pt[plan.pt_cross_b])
-    cross_pt = cross_pt * plan.pt_cross_mask[:, None, None].astype(dtype)
-    s_blocks = s_blocks.at[
-        plan.pt_pair_pose[plan.pt_cross_a], plan.pt_pair_pose[plan.pt_cross_b]
-    ].add(cross_pt)
+    # Schur subtraction for feature points.
+    if dense_schur is None:
+        dense_schur = (n_pose * 6) * (n_point * 3) <= 256 * 1024 * 1024
+    if dense_schur:
+        # Dense-U path: one scatter of the (pair) W blocks + one MXU matmul.
+        u = jnp.zeros((n_pose, 6, n_point, 3), dtype=dtype)
+        u = u.at[plan.pt_pair_pose, :, plan.pt_pair_point, :].add(w_pt)
+        v = jnp.einsum("pimk,mkl->piml", u, h_ll_inv)
+        s_sub = jnp.einsum(
+            "piml,qjml->piqj", v, u, preferred_element_type=dtype
+        )
+        s_blocks = s_blocks - jnp.transpose(s_sub, (0, 2, 1, 3))
+    else:
+        # Pair-enumeration path: combine rows sharing a destination with a
+        # sorted segment_sum, scatter unique dests.
+        wha_pt = jnp.einsum(
+            "cik,ckl->cil", w_pt[plan.pt_cross_a], h_ll_inv[plan.pt_pair_point[plan.pt_cross_a]]
+        )
+        cross_pt = -jnp.einsum("cil,cjl->cij", wha_pt, w_pt[plan.pt_cross_b])
+        cross_pt = cross_pt * plan.pt_cross_mask[:, None, None].astype(dtype)
+        n_pt_dest = plan.pt_dest_a.shape[0]
+        dest_pt = jax.ops.segment_sum(
+            cross_pt, plan.pt_cross_dest, num_segments=n_pt_dest,
+            indices_are_sorted=True,
+        ) * plan.pt_dest_mask[:, None, None].astype(dtype)
+        s_blocks = s_blocks.at[plan.pt_dest_a, plan.pt_dest_b].add(dest_pt)
     wha_ob = jnp.einsum(
         "cik,ckl->cil", w_ob[plan.ob_cross_a], h_oo_inv[plan.ob_pair_obj[plan.ob_cross_a]]
     )
     cross_ob = -jnp.einsum("cil,cjl->cij", wha_ob, w_ob[plan.ob_cross_b])
     cross_ob = cross_ob * plan.ob_cross_mask[:, None, None].astype(dtype)
-    s_blocks = s_blocks.at[
-        plan.ob_pair_pose[plan.ob_cross_a], plan.ob_pair_pose[plan.ob_cross_b]
-    ].add(cross_ob)
+    n_ob_dest = plan.ob_dest_a.shape[0]
+    dest_ob = jax.ops.segment_sum(
+        cross_ob, plan.ob_cross_dest, num_segments=n_ob_dest,
+        indices_are_sorted=True,
+    ) * plan.ob_dest_mask[:, None, None].astype(dtype)
+    s_blocks = s_blocks.at[plan.ob_dest_a, plan.ob_dest_b].add(dest_ob)
 
     # Reduced RHS: b_S = b_p - sum_pairs W Hll^-1 b_l.
     b_s = b_p
@@ -603,7 +687,11 @@ def compute_marginal_covariances(
     point_free = free.points.astype(dtype)
     obj_free = free.objects.astype(dtype)
 
-    r_rp, j_rp_pose, j_rp_point = fac.reproj_residuals_and_jac(state, cams, tables.reproj)
+    from obvi_slam_tpu.factors.reproj_fast import reproj_residuals_and_jac_fast
+
+    r_rp, j_rp_pose, j_rp_point = reproj_residuals_and_jac_fast(
+        state, cams, tables.reproj
+    )
     w_rp = _block_weight(r_rp, huber.reproj, weights.reproj, tables.reproj.mask.astype(dtype))
     _, (j_rp_pose, j_rp_point) = _weighted(r_rp, [j_rp_pose, j_rp_point], w_rp)
     j_rp_pose = j_rp_pose * pose_free[tables.reproj.pose_idx][:, None, None]
@@ -727,9 +815,11 @@ def compute_marginal_covariances(
     )
     cross = -jnp.einsum("cil,cjl->cij", wha, w_pt[plan.pt_cross_b])
     cross = cross * plan.pt_cross_mask[:, None, None].astype(dtype)
-    s_pp = s_pp.at[
-        plan.pt_pair_pose[plan.pt_cross_a], plan.pt_pair_pose[plan.pt_cross_b]
-    ].add(cross)
+    n_pt_dest = plan.pt_dest_a.shape[0]
+    dest_pt = jax.ops.segment_sum(
+        cross, plan.pt_cross_dest, num_segments=n_pt_dest, indices_are_sorted=True
+    ) * plan.pt_dest_mask[:, None, None].astype(dtype)
+    s_pp = s_pp.at[plan.pt_dest_a, plan.pt_dest_b].add(dest_pt)
 
     # ---- pose-object coupling ----------------------------------------------
     n_ob_pair = plan.ob_pair_pose.shape[0]

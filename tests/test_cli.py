@@ -1,0 +1,210 @@
+"""CLI integration tests: export a synthetic session to the reference's file
+formats, run the main binary / sequence executor / metrics generators as
+subprocesses, and check the artifacts."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+REPO = Path(__file__).parent.parent
+
+from test_bb_frontend import make_object_session
+
+
+def export_session(data, gt_poses, out_dir: Path, odom_as_init=True):
+    """Write a session in the reference's input file formats."""
+    out_dir.mkdir(parents=True, exist_ok=True)
+    # Intrinsics / extrinsics CSVs.
+    with open(out_dir / "intrinsics.csv", "w") as f:
+        f.write("camera_id,img_width,img_height,mat_00,mat_01,mat_02,mat_10,mat_11,mat_12,mat_20,mat_21,mat_22\n")
+        for cam_id, cam in data.cameras.items():
+            k = cam.intrinsics.ravel()
+            f.write(f"{cam_id},640,480," + ",".join(str(v) for v in k) + "\n")
+    with open(out_dir / "extrinsics.csv", "w") as f:
+        f.write("camera_id,transl_x,transl_y,transl_z,quat_x,quat_y,quat_z,quat_w\n")
+        for cam_id, cam in data.cameras.items():
+            q = Rotation.from_matrix(cam.extrinsics_r).as_quat()
+            t = cam.extrinsics_t
+            f.write(f"{cam_id},{t[0]},{t[1]},{t[2]},{q[0]},{q[1]},{q[2]},{q[3]}\n")
+    # Initial trajectory.
+    with open(out_dir / "poses.csv", "w") as f:
+        f.write("node_id,transl_x,transl_y,transl_z,quat_x,quat_y,quat_z,quat_w\n")
+        for frame, p in sorted(data.initial_poses.items()):
+            q = Rotation.from_rotvec(p[3:6]).as_quat()
+            f.write(f"{frame},{p[0]},{p[1]},{p[2]},{q[0]},{q[1]},{q[2]},{q[3]}\n")
+    # Ground truth trajectory (for metrics).
+    with open(out_dir / "gt_poses.csv", "w") as f:
+        f.write("node_id,transl_x,transl_y,transl_z,quat_x,quat_y,quat_z,quat_w\n")
+        for frame in range(len(gt_poses)):
+            p = gt_poses[frame]
+            q = Rotation.from_rotvec(p[3:6]).as_quat()
+            f.write(f"{frame},{p[0]},{p[1]},{p[2]},{q[0]},{q[1]},{q[2]},{q[3]}\n")
+    # Bounding boxes.
+    with open(out_dir / "bounding_boxes.csv", "w") as f:
+        f.write("min_pixel_x,min_pixel_y,max_pixel_x,max_pixel_y,semantic_class,node_id,camera_id,detection_confidence\n")
+        for frame, by_cam in sorted(data.bounding_boxes.items()):
+            for cam_id, bbs in by_cam.items():
+                for bb in bbs:
+                    c = bb.corners  # [x_min, x_max, y_min, y_max]
+                    f.write(
+                        f"{c[0]},{c[2]},{c[1]},{c[3]},{bb.semantic_class},{frame},{cam_id},{bb.detection_confidence}\n"
+                    )
+    # ORB output directory.
+    orb = out_dir / "orb_out"
+    (orb / "features").mkdir(parents=True, exist_ok=True)
+    frames = sorted(data.initial_poses)
+    for frame in frames:
+        with open(orb / f"{frame:06d}.txt", "w") as f:
+            f.write(f"{frame}\n")
+            f.write("0 0 0 0 0 0 1\n")  # pose line (skipped by reader)
+            feats = data.features_for_frame(frame)
+            for feat_id in sorted(feats):
+                parts = [str(feat_id)]
+                for cam_id, px in sorted(feats[feat_id].items()):
+                    parts += [str(cam_id), str(px[0]), str(px[1])]
+                f.write(" ".join(parts) + "\n")
+    with open(orb / "features" / "features.txt", "w") as f:
+        f.write("feature_id,x,y,z\n")
+        for feat_id, pos in sorted(data.feature_init_positions.items()):
+            f.write(f"{feat_id},{pos[0]},{pos[1]},{pos[2]}\n")
+    return out_dir
+
+
+def write_small_config(path: Path):
+    """Reference config JSON shrunk for the synthetic session."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tests"))
+    from test_bb_frontend import object_config
+
+    # Serialize the modified config by patching the reference JSON directly.
+    with open("/root/reference/config/base7a_1_fallback_a_2.json") as f:
+        raw = json.load(f)
+    c = raw["config"]
+    c["sliding_window_params"] = {"global_ba_frequency": "5", "local_ba_window_size": "6"}
+    en = c["optimization_factors_enabled_params"]
+    en["use_pose_graph_on_global_ba"] = 0
+    en["use_pose_graph_on_final_global_ba"] = 0
+    en["use_visual_features_on_global_ba"] = 1
+    en["use_visual_features_on_final_global_ba"] = 1
+    en["min_low_level_feature_observations_per_frame"] = 10
+    en["min_low_level_feature_observations"] = 3
+    en["min_object_observations"] = 3
+    fe = c["bounding_box_front_end_params"]["feature_based_bb_association_params"]
+    fe["min_observations"] = 5
+    fe["min_observations_for_local_est"] = 3
+    fe["min_overlapping_features_for_match"] = 3.0
+    fe["pending_obj_estimator_params"]["solver_params"]["max_num_iterations"] = 30
+    for key in ("local_ba_iteration_params", "global_ba_iteration_params", "final_ba_iteration_params"):
+        c[key]["phase_one_opt_params"]["max_num_iterations"] = 15
+        c[key]["phase_two_opt_params"]["max_num_iterations"] = 20
+    with open(path, "w") as f:
+        json.dump(raw, f)
+    return path
+
+
+@pytest.fixture(scope="module")
+def session_files(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cli_session")
+    data, gt_poses, gt_objects = make_object_session(n_frames=10, seed=33)
+    export_session(data, gt_poses, out)
+    write_small_config(out / "config.json")
+    return out, gt_poses, gt_objects
+
+
+def run_cli(script, args, timeout=500):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    if "offline_object_visual_slam" in script:
+        args = args + ["--platform", "cpu"]
+    result = subprocess.run(
+        [sys.executable, str(REPO / "cli" / script)] + args,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+    )
+    if result.returncode != 0:
+        raise AssertionError(
+            f"{script} failed:\nstdout={result.stdout}\nstderr={result.stderr[-3000:]}"
+        )
+    return result
+
+
+class TestMainCli:
+    def test_full_session(self, session_files):
+        out, gt_poses, gt_objects = session_files
+        res_dir = out / "results"
+        run_cli(
+            "offline_object_visual_slam_main.py",
+            [
+                "--params_config_file", str(out / "config.json"),
+                "--intrinsics_file", str(out / "intrinsics.csv"),
+                "--extrinsics_file", str(out / "extrinsics.csv"),
+                "--poses_by_node_id_file", str(out / "poses.csv"),
+                "--bounding_boxes_by_node_id_file", str(out / "bounding_boxes.csv"),
+                "--low_level_feats_dir", str(out / "orb_out"),
+                "--long_term_map_output", str(res_dir / "ltm.json"),
+                "--robot_poses_results_file", str(res_dir / "robot_poses.csv"),
+                "--ellipsoids_results_file", str(res_dir / "ellipsoids.csv"),
+                "--visual_feature_results_file", str(res_dir / "features.csv"),
+                "--opt_log_file", str(res_dir / "ceres_opt_summary.csv"),
+                "--timing_report_file", str(res_dir / "timing.json"),
+            ],
+        )
+        assert (res_dir / "robot_poses.csv").exists()
+        assert (res_dir / "ellipsoids.csv").exists()
+        assert (res_dir / "ltm.json").exists()
+        with open(res_dir / "ltm.json") as f:
+            ltm = json.load(f)
+        assert len(ltm["ellipsoids"]) == 2
+        with open(res_dir / "timing.json") as f:
+            timing = json.load(f)
+        assert "global_bundle_adjustment" in timing
+
+        # Trajectory metrics on the result.
+        mfile = res_dir / "traj_metrics.json"
+        r = run_cli(
+            "trajectory_metrics_generator.py",
+            [
+                "--est_trajectory_file", str(res_dir / "robot_poses.csv"),
+                "--gt_trajectory_file", str(out / "gt_poses.csv"),
+                "--metrics_out_file", str(mfile),
+            ],
+        )
+        with open(mfile) as f:
+            metrics = json.load(f)
+        assert metrics["rmse_transl_err"] < 0.05, metrics
+        assert metrics["lost_poses"] == 0
+
+        # Object metrics: write GT object file then compare.
+        gt_file = res_dir / "gt_objects.csv"
+        with open(gt_file, "w") as f:
+            f.write(
+                "semantic_class,transl_x,transl_y,transl_z,quat_x,quat_y,quat_z,quat_w,d_x,d_y,d_z,obj_id\n"
+            )
+            for k, e in enumerate(gt_objects):
+                q = Rotation.from_euler("z", e[3]).as_quat()
+                f.write(
+                    f"chair,{e[0]},{e[1]},{e[2]},{q[0]},{q[1]},{q[2]},{q[3]},{e[4]},{e[5]},{e[6]},{k}\n"
+                )
+        omfile = res_dir / "obj_metrics.json"
+        r = run_cli(
+            "object_metrics_generator.py",
+            [
+                "--est_objects_file", str(res_dir / "ellipsoids.csv"),
+                "--gt_objects_file", str(gt_file),
+                "--metrics_out_file", str(omfile),
+            ],
+        )
+        with open(omfile) as f:
+            om = json.load(f)
+        assert om["recall"] == 1.0, om
+        assert om["average_pos_deviation"] < 0.5, om
+        assert om["avg_iou"] > 0.3, om
