@@ -639,3 +639,161 @@ def shape_prior_map(config: FullOVSLAMConfig) -> Dict[str, Tuple[np.ndarray, np.
     return {
         p.semantic_class: (p.mean, p.covariance) for p in config.shape_dimension_priors
     }
+
+
+def write_config(config: FullOVSLAMConfig, path: str):
+    """Inverse of read_config: emit the reference JSON schema
+    (write_configuration.cpp equivalent)."""
+
+    def iter_params(p: OptimizationIterationParams):
+        return p.to_json()
+
+    def residual_params(r: ResidualParams):
+        return {
+            "object_residual_params": {
+                "object_observation_huber_loss_param": r.object_residual_params.object_observation_huber_loss_param,
+                "shape_dim_prior_factor_huber_loss_param": r.object_residual_params.shape_dim_prior_factor_huber_loss_param,
+                "invalid_ellipsoid_error_val": r.object_residual_params.invalid_ellipsoid_error_val,
+            },
+            "visual_residual_params": {
+                "reprojection_error_huber_loss_param": r.reprojection_error_huber_loss_param
+            },
+            "long_term_map_params": {
+                "pair_huber_loss_param": r.ltm_pair_huber_loss_param
+            },
+            "relative_pose_factor_huber_loss": r.relative_pose_factor_huber_loss,
+            "relative_pose_cov_params": {
+                "transl_error_mult_for_transl_error": r.relative_pose_cov_params.transl_error_mult_for_transl_error,
+                "transl_error_mult_for_rot_error": r.relative_pose_cov_params.transl_error_mult_for_rot_error,
+                "rot_error_mult_for_transl_error": r.relative_pose_cov_params.rot_error_mult_for_transl_error,
+                "rot_error_mult_for_rot_error": r.relative_pose_cov_params.rot_error_mult_for_rot_error,
+            },
+        }
+
+    vf = config.visual_feature_params
+    pgo = config.pgo_solver_params
+    fe = config.feature_based_bb_association_params
+    d = {
+        "config": {
+            "config_schema_version": config.config_schema_version,
+            "config_version_id": config.config_version_id,
+            "visual_feature_params": {
+                "reprojection_error_std_dev": vf.reprojection_error_std_dev,
+                "min_visual_feature_parallax_pixel_requirement": vf.min_visual_feature_parallax_pixel_requirement,
+                "min_visual_feature_parallax_robot_transl_requirement": vf.min_visual_feature_parallax_robot_transl_requirement,
+                "min_visual_feature_parallax_robot_orient_requirement": vf.min_visual_feature_parallax_robot_orient_requirement,
+                "enforce_min_pixel_parallax_requirement": int(vf.enforce_min_pixel_parallax_requirement),
+                "enforce_min_robot_pose_parallax_requirement": int(vf.enforce_min_robot_pose_parallax_requirement),
+                "inlier_epipolar_err_thresh": vf.inlier_epipolar_err_thresh,
+                "check_past_n_frames_for_epipolar_err": vf.check_past_n_frames_for_epipolar_err,
+                "enforce_epipolar_error_requirement_": int(vf.enforce_epipolar_error_requirement),
+            },
+            "local_ba_iteration_params": iter_params(config.local_ba_iteration_params),
+            "global_ba_iteration_params": iter_params(config.global_ba_iteration_params),
+            "final_ba_iteration_params": iter_params(config.final_ba_iteration_params),
+            "pgo_solver_params": {
+                "relative_pose_factor_huber_loss": pgo.relative_pose_factor_huber_loss,
+                "enable_visual_feats_only_opt_post_pgo": int(pgo.enable_visual_feats_only_opt_post_pgo),
+                "enable_visual_non_opt_feature_adjustment_post_pgo": int(pgo.enable_visual_non_opt_feature_adjustment_post_pgo),
+                "relative_pose_cov_params": {
+                    "transl_error_mult_for_transl_error": pgo.relative_pose_cov_params.transl_error_mult_for_transl_error,
+                    "transl_error_mult_for_rot_error": pgo.relative_pose_cov_params.transl_error_mult_for_rot_error,
+                    "rot_error_mult_for_transl_error": pgo.relative_pose_cov_params.rot_error_mult_for_transl_error,
+                    "rot_error_mult_for_rot_error": pgo.relative_pose_cov_params.rot_error_mult_for_rot_error,
+                },
+                "pgo_optimization_solver_params": pgo.pgo_optimization_solver_params.to_json(),
+                "final_pgo_optimization_solver_params": pgo.final_pgo_optimization_solver_params.to_json(),
+                "post_pgo_vf_adjustment_solver_params": pgo.post_pgo_vf_adjustment_solver_params.to_json(),
+                "final_post_pgo_vf_adjustment_solver_params": pgo.final_post_pgo_vf_adjustment_solver_params.to_json(),
+                "pre_pgo_tracking_solver_params": pgo.pre_pgo_tracking_solver_params.to_json(),
+            },
+            "ltm_tunable_params": {
+                "far_feature_threshold": config.ltm_tunable_params.far_feature_threshold,
+                "min_col_norm": config.ltm_tunable_params.min_col_norm,
+                "fallback_to_prev_for_failed_extraction": int(config.ltm_tunable_params.fallback_to_prev_for_failed_extraction),
+            },
+            "ltm_solver_residual_params": residual_params(config.ltm_solver_residual_params),
+            "ltm_solver_params": config.ltm_solver_params.to_json(),
+            "shape_dimension_priors": {
+                "dimension_prior_label": [
+                    {
+                        "semantic_class": p.semantic_class,
+                        "obj_dim_mean": _mat_to_node(p.mean.reshape(3, 1)),
+                        "dim_covariance": _mat_to_node(p.covariance),
+                    }
+                    for p in config.shape_dimension_priors
+                ]
+            },
+            "camera_info": {
+                "camera_topic_to_camera_id": [
+                    {"camera_topic": topic, "camera_id": str(cam_id)}
+                    for topic, cam_id in config.camera_topic_to_camera_id.items()
+                ]
+            },
+            "bounding_box_front_end_params": {
+                "geometric_similarity_scorer_params": {
+                    "max_merge_distance": config.geometric_similarity_scorer_params.max_merge_distance,
+                    "x_y_only_merge": int(config.geometric_similarity_scorer_params.x_y_only_merge),
+                },
+                "feature_based_bb_association_params": {
+                    "min_observations_for_local_est": fe.min_observations_for_local_est,
+                    "min_observations": fe.min_observations,
+                    "discard_candidate_after_num_frames": str(fe.discard_candidate_after_num_frames),
+                    "min_bb_confidence": fe.min_bb_confidence,
+                    "required_min_conf_for_initialization": fe.required_min_conf_for_initialization,
+                    "min_overlapping_features_for_match": fe.min_overlapping_features_for_match,
+                    "feature_validity_window": str(fe.feature_validity_window),
+                    "pending_obj_estimator_params": {
+                        "object_residual_params": {
+                            "object_observation_huber_loss_param": fe.pending_obj_estimator_params.object_residual_params.object_observation_huber_loss_param,
+                            "shape_dim_prior_factor_huber_loss_param": fe.pending_obj_estimator_params.object_residual_params.shape_dim_prior_factor_huber_loss_param,
+                            "invalid_ellipsoid_error_val": fe.pending_obj_estimator_params.object_residual_params.invalid_ellipsoid_error_val,
+                        },
+                        "solver_params": fe.pending_obj_estimator_params.solver_params.to_json(),
+                    },
+                    "bounding_box_inflation_size": fe.bounding_box_inflation_size,
+                },
+                "post_session_object_merge_params": {
+                    "max_merge_distance": config.post_session_object_merge_params.max_merge_distance,
+                    "x_y_only_merge": int(config.post_session_object_merge_params.x_y_only_merge),
+                },
+            },
+            "bounding_box_covariance_generator_params": {
+                "bounding_box_cov": _mat_to_node(config.bounding_box_covariance_generator_params.bounding_box_cov),
+                "near_edge_threshold": config.bounding_box_covariance_generator_params.near_edge_threshold,
+                "image_boundary_variance": config.bounding_box_covariance_generator_params.image_boundary_variance,
+            },
+            "sliding_window_params": {
+                "global_ba_frequency": str(config.sliding_window_params.global_ba_frequency),
+                "local_ba_window_size": str(config.sliding_window_params.local_ba_window_size),
+            },
+            "optimization_factors_enabled_params": {
+                "min_low_level_feature_observations_per_frame": config.optimization_factors_enabled_params.min_low_level_feature_observations_per_frame,
+                "include_object_factors": int(config.optimization_factors_enabled_params.include_object_factors),
+                "include_visual_factors": int(config.optimization_factors_enabled_params.include_visual_factors),
+                "fix_poses": int(config.optimization_factors_enabled_params.fix_poses),
+                "fix_objects": int(config.optimization_factors_enabled_params.fix_objects),
+                "fix_visual_features": int(config.optimization_factors_enabled_params.fix_visual_features),
+                "fix_ltm_objects": int(config.optimization_factors_enabled_params.fix_ltm_objects),
+                "use_pom": int(config.optimization_factors_enabled_params.use_pom),
+                "poses_prior_to_window_to_keep_constant": config.optimization_factors_enabled_params.poses_prior_to_window_to_keep_constant,
+                "min_object_observations": config.optimization_factors_enabled_params.min_object_observations,
+                "min_low_level_feature_observations": config.optimization_factors_enabled_params.min_low_level_feature_observations,
+                "use_pose_graph_on_global_ba": int(config.optimization_factors_enabled_params.use_pose_graph_on_global_ba),
+                "use_visual_features_on_global_ba": int(config.optimization_factors_enabled_params.use_visual_features_on_global_ba),
+                "use_pose_graph_on_final_global_ba": int(config.optimization_factors_enabled_params.use_pose_graph_on_final_global_ba),
+                "use_visual_features_on_final_global_ba": int(config.optimization_factors_enabled_params.use_visual_features_on_final_global_ba),
+            },
+            "object_visual_pose_graph_residual_params": residual_params(config.object_visual_pose_graph_residual_params),
+            "limit_traj_eval_params": {
+                "should_limit_trajectory_evaluation": int(config.limit_traj_eval_params.should_limit_trajectory_evaluation),
+                "max_frame_id": config.limit_traj_eval_params.max_frame_id,
+            },
+            "sparsifier_params": {
+                "max_pose_inc_threshold_transl": config.sparsifier_params.max_pose_inc_threshold_transl,
+                "max_pose_inc_threshold_rot": config.sparsifier_params.max_pose_inc_threshold_rot,
+            },
+        }
+    }
+    with open(path, "w") as f:
+        json.dump(d, f, indent=4)

@@ -208,3 +208,144 @@ class TestMainCli:
         assert om["recall"] == 1.0, om
         assert om["average_pos_deviation"] < 0.5, om
         assert om["avg_iou"] > 0.3, om
+
+
+class TestUtilityBinaries:
+    def test_write_configuration_roundtrip(self, tmp_path):
+        out = tmp_path / "default_config.json"
+        r = subprocess.run(
+            [sys.executable, str(REPO / "cli" / "write_configuration.py"),
+             "--config_output_file", str(out)],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr
+        sys.path.insert(0, str(REPO))
+        from obvi_slam_tpu.config import read_config
+
+        c = read_config(str(out))
+        assert c.config_version_id == "default"
+        assert len(c.shape_dimension_priors) == 6
+
+    def test_sparsifier(self, session_files, tmp_path):
+        out, _, _ = session_files
+        r = subprocess.run(
+            [sys.executable, str(REPO / "cli" / "orb_trajectory_sparsifier.py"),
+             "--input_poses_file", str(out / "poses.csv"),
+             "--input_feature_obs_dir", str(out / "orb_out"),
+             "--output_poses_file", str(tmp_path / "sparse_poses.csv"),
+             "--output_feature_obs_dir", str(tmp_path / "sparse_orb"),
+             "--max_pose_inc_threshold_transl", "0.35",
+             "--max_pose_inc_threshold_rot", "0.5"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr
+        from obvi_slam_tpu.io.readers import read_poses_by_node_id
+
+        orig = read_poses_by_node_id(str(out / "poses.csv"))
+        sparse = read_poses_by_node_id(str(tmp_path / "sparse_poses.csv"))
+        # Frames 0.2m apart, threshold 0.35m -> roughly every other frame kept.
+        assert 2 < len(sparse) < len(orig), (len(sparse), len(orig))
+        # Frame ids renumbered densely from 0.
+        assert sorted(sparse) == list(range(len(sparse)))
+        # Feature obs files renumbered to match.
+        names = sorted(p.name for p in (tmp_path / "sparse_orb").glob("*.txt"))
+        assert names[0] == "000000.txt"
+        assert (tmp_path / "sparse_orb" / "features" / "features.txt").exists()
+
+    def test_interpolator(self, tmp_path):
+        poses = tmp_path / "poses_ts.csv"
+        with open(poses, "w") as f:
+            f.write("seconds,nanoseconds,tx,ty,tz,qx,qy,qz,qw\n")
+            f.write("100,0,0,0,0,0,0,0,1\n")
+            f.write("101,0,1,0,0,0,0,0,1\n")
+        req = tmp_path / "req_ts.csv"
+        with open(req, "w") as f:
+            f.write("seconds,nanoseconds\n100,500000000\n")
+        out = tmp_path / "interp.csv"
+        r = subprocess.run(
+            [sys.executable, str(REPO / "cli" / "interpolate_poses_with_required_nodes.py"),
+             "--poses_by_timestamp_file", str(poses),
+             "--required_timestamps_file", str(req),
+             "--poses_out_file", str(out)],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr
+        row = open(out).read().strip().splitlines()[1].split(",")
+        assert abs(float(row[2]) - 0.5) < 1e-9, row
+
+
+class TestCheckpointResume:
+    def test_checkpoint_then_resume_and_ltm_tools(self, tmp_path):
+        # Small session with checkpointing, then resume + LTM tools.
+        data, gt_poses, gt_objects = make_object_session(n_frames=8, seed=44)
+        out = tmp_path / "sess"
+        export_session(data, gt_poses, out)
+        write_small_config(out / "config.json")
+        res = out / "results"
+        run_cli(
+            "offline_object_visual_slam_main.py",
+            [
+                "--params_config_file", str(out / "config.json"),
+                "--intrinsics_file", str(out / "intrinsics.csv"),
+                "--extrinsics_file", str(out / "extrinsics.csv"),
+                "--poses_by_node_id_file", str(out / "poses.csv"),
+                "--bounding_boxes_by_node_id_file", str(out / "bounding_boxes.csv"),
+                "--low_level_feats_dir", str(out / "orb_out"),
+                "--checkpoint_output_dir", str(res / "checkpoints"),
+                "--robot_poses_results_file", str(res / "robot_poses.csv"),
+            ],
+        )
+        ckpt = res / "checkpoints" / "pose_graph_state.json"
+        assert ckpt.exists()
+
+        # Resume from the checkpoint at the final frame (re-runs final opt).
+        r = subprocess.run(
+            [sys.executable, str(REPO / "cli" / "run_opt_from_pg_state.py"),
+             "--input_checkpoint_file", str(ckpt),
+             "--params_config_file", str(out / "config.json"),
+             "--intrinsics_file", str(out / "intrinsics.csv"),
+             "--extrinsics_file", str(out / "extrinsics.csv"),
+             "--poses_by_node_id_file", str(out / "poses.csv"),
+             "--bounding_boxes_by_node_id_file", str(out / "bounding_boxes.csv"),
+             "--low_level_feats_dir", str(out / "orb_out"),
+             "--start_at_frame", "7",
+             "--robot_poses_results_file", str(res / "resumed_poses.csv"),
+             "--platform", "cpu"],
+            capture_output=True, text=True, timeout=400,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert (res / "resumed_poses.csv").exists()
+        from obvi_slam_tpu.io.readers import read_poses_by_node_id
+
+        resumed = read_poses_by_node_id(str(res / "resumed_poses.csv"))
+        assert len(resumed) == len(gt_poses)
+
+        # ltm_extraction_only from the checkpoint.
+        r = subprocess.run(
+            [sys.executable, str(REPO / "cli" / "ltm_extraction_only.py"),
+             "--input_checkpoint_file", str(ckpt),
+             "--params_config_file", str(out / "config.json"),
+             "--intrinsics_file", str(out / "intrinsics.csv"),
+             "--extrinsics_file", str(out / "extrinsics.csv"),
+             "--long_term_map_output", str(res / "ltm2.json"),
+             "--platform", "cpu"],
+            capture_output=True, text=True, timeout=400,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+        # display_ltm renders it.
+        r = subprocess.run(
+            [sys.executable, str(REPO / "cli" / "display_ltm.py"),
+             str(res / "ltm2.json"), "--covariances"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "Long-term map" in r.stdout
+
+        # timing_analysis on nothing would fail; use the timing file from the
+        # earlier full-session test if present — here just check help runs.
+        r = subprocess.run(
+            [sys.executable, str(REPO / "cli" / "timing_analysis.py"), "--help"],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert r.returncode == 0
