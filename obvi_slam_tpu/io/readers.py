@@ -127,33 +127,51 @@ def read_orb_output_directory(
     dropped (orb_output_low_level_feature_reader.cpp:66-71)."""
     obs: Dict[int, Dict[int, Dict[int, np.ndarray]]] = {}
     obs_count: Dict[int, int] = {}
-    for name in sorted(os.listdir(directory)):
-        if not name.endswith(".txt"):
-            continue
-        path = os.path.join(directory, name)
-        if not os.path.isfile(path):
-            continue
-        with open(path) as f:
-            lines = f.read().strip().splitlines()
-        if len(lines) < 2:
-            continue
-        frame_id = int(lines[0].split()[0])
-        if max_frame_id is not None and frame_id > max_frame_id:
-            continue
-        for line in lines[2:]:
-            parts = line.split()
-            if len(parts) < 4:
+    paths = [
+        os.path.join(directory, name)
+        for name in sorted(os.listdir(directory))
+        if name.endswith(".txt") and os.path.isfile(os.path.join(directory, name))
+    ]
+    from obvi_slam_tpu import native as native_mod
+
+    flat = native_mod.load_orb_observations_native(paths)
+    if flat is not None:
+        feat_a, frame_a, cam_a, px_a, py_a = flat
+        last = (None, None)
+        for i in range(len(feat_a)):
+            frame_id = int(frame_a[i])
+            if max_frame_id is not None and frame_id > max_frame_id:
                 continue
-            feat_id = int(parts[0])
-            i = 1
-            while i + 2 < len(parts) + 1 and i + 2 <= len(parts):
-                cam_id = int(parts[i])
-                x, y = float(parts[i + 1]), float(parts[i + 2])
-                obs.setdefault(feat_id, {}).setdefault(frame_id, {})[cam_id] = (
-                    np.array([x, y])
-                )
-                i += 3
-            obs_count[feat_id] = obs_count.get(feat_id, 0) + 1
+            feat_id = int(feat_a[i])
+            obs.setdefault(feat_id, {}).setdefault(frame_id, {})[int(cam_a[i])] = (
+                np.array([px_a[i], py_a[i]])
+            )
+            if (feat_id, frame_id) != last:
+                obs_count[feat_id] = obs_count.get(feat_id, 0) + 1
+                last = (feat_id, frame_id)
+    else:
+        for path in paths:
+            with open(path) as f:
+                lines = f.read().strip().splitlines()
+            if len(lines) < 2:
+                continue
+            frame_id = int(lines[0].split()[0])
+            if max_frame_id is not None and frame_id > max_frame_id:
+                continue
+            for line in lines[2:]:
+                parts = line.split()
+                if len(parts) < 4:
+                    continue
+                feat_id = int(parts[0])
+                i = 1
+                while i + 2 < len(parts) + 1 and i + 2 <= len(parts):
+                    cam_id = int(parts[i])
+                    x, y = float(parts[i + 1]), float(parts[i + 2])
+                    obs.setdefault(feat_id, {}).setdefault(frame_id, {})[cam_id] = (
+                        np.array([x, y])
+                    )
+                    i += 3
+                obs_count[feat_id] = obs_count.get(feat_id, 0) + 1
     # Drop single-observation features.
     for feat_id, n in obs_count.items():
         if n == 1:

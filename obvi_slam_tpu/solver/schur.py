@@ -113,7 +113,55 @@ def _round_up(n, bucket=64):
 
 
 def _build_pairs(block_idx, land_idx, mask, pair_cap=None, cross_cap=None):
-    """Unique (pose, landmark) pairs and the per-landmark ordered cross pairs."""
+    """Unique (pose, landmark) pairs and the per-landmark ordered cross pairs.
+
+    Uses the native C++ builder (obvi_slam_tpu/native) when built — identical
+    outputs, ~10x faster on large windows — with this numpy path as fallback."""
+    from obvi_slam_tpu import native as native_mod
+
+    native = native_mod.build_pair_plan_native(block_idx, land_idx, mask)
+    if native is not None:
+        (
+            factor_pair,
+            pair_block,
+            pair_land,
+            cross_a,
+            cross_b,
+            cross_dest,
+            dest_a,
+            dest_b,
+        ) = native
+        n_pairs = len(pair_block)
+        n_dest = len(dest_a)
+        pair_cap = pair_cap or _round_up(n_pairs)
+        cross_cap = cross_cap or _round_up(len(cross_a))
+        dest_cap = _round_up(n_dest)
+
+        def pad_i(x, cap, fill=0):
+            out = np.full(cap, fill, dtype=np.int32)
+            out[: len(x)] = x
+            return out
+
+        pair_mask = np.zeros(pair_cap, dtype=bool)
+        pair_mask[:n_pairs] = True
+        cross_mask = np.zeros(cross_cap, dtype=bool)
+        cross_mask[: len(cross_a)] = True
+        dest_mask = np.zeros(dest_cap, dtype=bool)
+        dest_mask[:n_dest] = True
+        return (
+            factor_pair,
+            pad_i(pair_block, pair_cap),
+            pad_i(pair_land, pair_cap),
+            pair_mask,
+            pad_i(cross_a, cross_cap),
+            pad_i(cross_b, cross_cap),
+            cross_mask,
+            pad_i(cross_dest, cross_cap, fill=min(n_dest, dest_cap - 1)),
+            pad_i(dest_a, dest_cap),
+            pad_i(dest_b, dest_cap),
+            dest_mask,
+        )
+
     live = np.nonzero(mask)[0]
     keys = np.stack([block_idx[live], land_idx[live]], axis=1)
     if len(live) == 0:

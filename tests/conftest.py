@@ -32,3 +32,10 @@ jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 assert len(jax.devices()) >= 8 or True  # virtual device count best-effort
+
+# Build the native library if missing (graceful: tests fall back to numpy).
+import subprocess as _subprocess  # noqa: E402
+
+_native_dir = os.path.join(os.path.dirname(__file__), "..", "obvi_slam_tpu", "native")
+if not os.path.exists(os.path.join(_native_dir, "libobvi_native.so")):
+    _subprocess.run(["make", "-C", _native_dir], capture_output=True)
