@@ -30,27 +30,26 @@ from obvi_slam_tpu.types import BAState, CameraBundle
 
 
 def pose_rotation_tables(poses):
-    """Per-pose R^T (world->robot) and dR^T/dw: shapes (P,3,3), (P,3,3,3).
+    """Per-pose R^T (world->robot) and the right Jacobian Jr(w): (P,3,3) each.
 
-    d_rt[p, :, :, i] = d(R^T)/d w_i at pose p."""
+    The rotation derivative enters via the identity
+        d(R(w)^T v)/dw = [R^T v]_x Jr(w)
+    (from dR/dw_i = R [Jr e_i]_x), so a 9-component Jr gather replaces the
+    27-component dR^T/dw tensor the naive chain rule needs."""
     w = poses[:, 3:6]
     rt = jnp.swapaxes(geo.exp_so3(w), -1, -2)
-
-    def rt_of(wv):
-        return jnp.swapaxes(geo.exp_so3(wv), -1, -2)
-
-    d_rt = jax.vmap(jax.jacfwd(rt_of))(w)  # (P, 3, 3, 3)
-    return rt, d_rt
+    jr = geo.right_jacobian_so3(w)
+    return rt, jr
 
 
 def reproj_residuals_and_jac_fast(state: BAState, cams: CameraBundle, f):
     """Drop-in replacement for factors.reproj_residuals_and_jac."""
     dtype = state.poses.dtype
-    rt, d_rt = pose_rotation_tables(state.poses)
+    rt, jr = pose_rotation_tables(state.poses)
 
     pose_t = state.poses[f.pose_idx, 0:3]  # (F,3)
     rt_f = rt[f.pose_idx]  # (F,3,3)
-    d_rt_f = d_rt[f.pose_idx]  # (F,3,3,3)
+    jr_f = jr[f.pose_idx]  # (F,3,3)
     x = state.points[f.point_idx]  # (F,3)
     c_r = cams.cam_from_robot_r[f.cam_idx]  # (F,3,3)
     c_t = cams.cam_from_robot_t[f.cam_idx]  # (F,3)
@@ -79,8 +78,9 @@ def reproj_residuals_and_jac_fast(state: BAState, cams: CameraBundle, f):
     cr_rt = jnp.einsum("fij,fjk->fik", c_r, rt_f)  # (F,3,3)
     j_point = jnp.einsum("frk,fkj->frj", dproj, cr_rt)  # (F,2,3)
     j_t = -j_point  # translation block
-    # dp_c/dw_i = C_r (dR^T/dw_i) diff -> (F,3,3): [:, :, i]
-    dpc_dw = jnp.einsum("fab,fbci,fc->fai", c_r, d_rt_f, diff)
+    # d(R^T diff)/dw = [p_r]_x Jr  =>  dp_c/dw = C_r [p_r]_x Jr.
+    skew_pr = geo.skew(p_r)  # (F,3,3)
+    dpc_dw = jnp.einsum("fab,fbc,fci->fai", c_r, skew_pr, jr_f)
     j_w = jnp.einsum("frk,fki->fri", dproj, dpc_dw)  # (F,2,3)
     j_pose = jnp.concatenate([j_t, j_w], axis=-1)  # (F,2,6)
 

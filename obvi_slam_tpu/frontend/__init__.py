@@ -25,3 +25,4 @@ def make_bb_frontend_hook(frontend):
             frontend.add_bounding_box_observations(frame_id, cam_id, bbs, observed)
 
     return hook
+from obvi_slam_tpu.frontend.roshan_frontend import RoshanBbFrontEnd  # noqa: F401

@@ -184,21 +184,16 @@ class FeatureBasedBoundingBoxFrontEnd:
             for bb in bounding_boxes
             if bb.detection_confidence > self.params.min_bb_confidence
         ]
-        # features inside the inflated bbox (closed set), per bb.
-        feats_in_bb: List[Set[int]] = []
-        infl = self.params.bounding_box_inflation_size
-        for bb in filtered:
-            x_min, x_max, y_min, y_max = bb.corners
-            s = {
-                fid
-                for fid, px in observed_features.items()
-                if (x_min - infl) <= px[0] <= (x_max + infl)
-                and (y_min - infl) <= px[1] <= (y_max + infl)
-            }
-            feats_in_bb.append(s)
+        # Per-bb association context (template hook:
+        # generateSingleBoundingBoxContextInfo). Feature-based: the set of
+        # features inside the inflated box; Roshan: histogram + 1-view est.
+        contexts = [
+            self._make_bb_context(frame_id, camera_id, bb, observed_features)
+            for bb in filtered
+        ]
 
         # --- association --------------------------------------------------
-        assignments = self._assign(frame_id, camera_id, filtered, feats_in_bb)
+        assignments = self._assign(frame_id, camera_id, filtered, contexts)
 
         # --- record observations ------------------------------------------
         for idx, (bb, assoc) in enumerate(zip(filtered, assignments)):
@@ -209,7 +204,7 @@ class FeatureBasedBoundingBoxFrontEnd:
                 self.pg.add_object_observation(obj_id, frame_id, camera_id, corners, cov)
                 self.object_appearance.setdefault(obj_id, {}).setdefault(frame_id, {})[
                     camera_id
-                ] = feats_in_bb[idx]
+                ] = contexts[idx]
             else:
                 pend_idx = assoc[1]
                 obs = PendingObservation(frame_id, camera_id, corners, cov, bb.detection_confidence)
@@ -220,7 +215,7 @@ class FeatureBasedBoundingBoxFrontEnd:
                         max_frame_id=frame_id,
                     )
                     pend.observations.append(obs)
-                    pend.observed_feats.setdefault(frame_id, {})[camera_id] = feats_in_bb[idx]
+                    pend.observed_feats.setdefault(frame_id, {})[camera_id] = contexts[idx]
                     pend.max_confidence = bb.detection_confidence
                     pend.object_estimate = single_view_ellipsoid_estimate(
                         self.pg, frame_id, camera_id, bb.semantic_class, corners
@@ -231,7 +226,7 @@ class FeatureBasedBoundingBoxFrontEnd:
                     pend.observations.append(obs)
                     pend.min_frame_id = min(pend.min_frame_id, frame_id)
                     pend.max_frame_id = max(pend.max_frame_id, frame_id)
-                    pend.observed_feats.setdefault(frame_id, {})[camera_id] = feats_in_bb[idx]
+                    pend.observed_feats.setdefault(frame_id, {})[camera_id] = contexts[idx]
                     pend.max_confidence = max(pend.max_confidence, bb.detection_confidence)
                     if pend.object_estimate is None:
                         pend.object_estimate = single_view_ellipsoid_estimate(
@@ -285,43 +280,60 @@ class FeatureBasedBoundingBoxFrontEnd:
         self._cleanup(frame_id)
 
     # ------------------------------------------------------------------
-    def _assign(self, frame_id, camera_id, filtered, feats_in_bb):
+    def _make_bb_context(self, frame_id, camera_id, bb, observed_features):
+        """Feature-based context: ids of features inside the inflated bbox."""
+        infl = self.params.bounding_box_inflation_size
+        x_min, x_max, y_min, y_max = bb.corners
+        return {
+            fid
+            for fid, px in observed_features.items()
+            if (x_min - infl) <= px[0] <= (x_max + infl)
+            and (y_min - infl) <= px[1] <= (y_max + infl)
+        }
+
+    def _score_candidate_entries(self, frame_id, camera_id, bb, feats):
+        """identify -> prune -> score for one bb. Feature-based: feature
+        overlap pruning + average-IoU scoring."""
+        candidates = []
+        for pend_idx, pend in enumerate(self.pending):
+            if pend.semantic_class == bb.semantic_class:
+                candidates.append(("pending", pend_idx, pend.observed_feats))
+        for obj_id in self.objects_with_class(bb.semantic_class):
+            candidates.append(
+                ("object", obj_id, self.object_appearance.get(obj_id, {}))
+            )
+        entries = []
+        for kind, ident, observed in candidates:
+            # prune: max per-observation intersection count
+            overlap_by_obs = {}
+            max_overlap = 0
+            for fr, cams in observed.items():
+                for cam, featset in cams.items():
+                    n = len(feats & featset)
+                    overlap_by_obs[(fr, cam)] = n
+                    max_overlap = max(max_overlap, n)
+            if max_overlap < self.params.min_overlapping_features_for_match:
+                continue
+            # score: average IoU over ALL candidate observations
+            total_obs = 0
+            iou_sum = 0.0
+            for fr, cams in observed.items():
+                for cam, featset in cams.items():
+                    total_obs += 1
+                    inter = overlap_by_obs[(fr, cam)]
+                    if inter != 0:
+                        iou_sum += inter / (len(feats) + len(featset) - inter)
+            score = iou_sum / total_obs if total_obs else -np.inf
+            entries.append(((kind, ident), score))
+        return entries
+
+    def _assign(self, frame_id, camera_id, filtered, contexts):
         """identify -> prune -> score -> greedy assign. Returns per-bb
         ("object", obj_id) or ("pending", pending_idx)."""
-        scored_candidates = []  # per bb: list of ((kind, id), score)
-        for bb, feats in zip(filtered, feats_in_bb):
-            candidates = []
-            for pend_idx, pend in enumerate(self.pending):
-                if pend.semantic_class == bb.semantic_class:
-                    candidates.append(("pending", pend_idx, pend.observed_feats))
-            for obj_id in self.objects_with_class(bb.semantic_class):
-                candidates.append(
-                    ("object", obj_id, self.object_appearance.get(obj_id, {}))
-                )
-            entries = []
-            for kind, ident, observed in candidates:
-                # prune: max per-observation intersection count
-                overlap_by_obs = {}
-                max_overlap = 0
-                for fr, cams in observed.items():
-                    for cam, featset in cams.items():
-                        n = len(feats & featset)
-                        overlap_by_obs[(fr, cam)] = n
-                        max_overlap = max(max_overlap, n)
-                if max_overlap < self.params.min_overlapping_features_for_match:
-                    continue
-                # score: average IoU over ALL candidate observations
-                total_obs = 0
-                iou_sum = 0.0
-                for fr, cams in observed.items():
-                    for cam, featset in cams.items():
-                        total_obs += 1
-                        inter = overlap_by_obs[(fr, cam)]
-                        if inter != 0:
-                            iou_sum += inter / (len(feats) + len(featset) - inter)
-                score = iou_sum / total_obs if total_obs else -np.inf
-                entries.append(((kind, ident), score))
-            scored_candidates.append(entries)
+        scored_candidates = [
+            self._score_candidate_entries(frame_id, camera_id, bb, ctx)
+            for bb, ctx in zip(filtered, contexts)
+        ]
 
         # greedilyAssignBoundingBoxes (bounding_box_front_end_helpers.h:125-184)
         flattened = []

@@ -69,6 +69,22 @@ def exp_so3(w):
     return eye + a[..., None, None] * s + b[..., None, None] * s2
 
 
+def right_jacobian_so3(w):
+    """SO(3) right Jacobian Jr(w) (GetRodriguesJacobian, vslam_math_util.h:311):
+    Jr = I - (1-cos t)/t^2 [w]x + (t - sin t)/t^3 [w]x^2, Taylor-safe."""
+    theta2 = _sq_norm(w)
+    small = theta2 < SMALL_ANGLE**2
+    theta2_safe = jnp.where(small, jnp.ones_like(theta2), theta2)
+    theta = jnp.sqrt(theta2_safe)
+    a = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
+    b = jnp.where(
+        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2_safe * theta)
+    )
+    s = skew(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), s.shape)
+    return eye - a[..., None, None] * s + b[..., None, None] * (s @ s)
+
+
 def log_so3(r):
     """SO(3) -> so(3), batched & grad-safe, via quaternion.
 

@@ -6,3 +6,8 @@ from obvi_slam_tpu.parallel.sharding import (  # noqa: F401
     shard_weights,
     sharded_compute_step,
 )
+from obvi_slam_tpu.parallel.distributed import (  # noqa: F401
+    global_mesh,
+    initialize as initialize_distributed,
+    shard_sessions,
+)

@@ -22,13 +22,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: the suite is compile-bound (many jit
-# signatures); caching across runs cuts wall time several-fold.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+# NOTE: jax's persistent compilation cache is NOT enabled here: with the
+# axon PJRT plugin loaded, executable (de)serialization segfaults/aborts
+# intermittently (observed in compilation_cache.put/get_executable_and_time).
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 assert len(jax.devices()) >= 8 or True  # virtual device count best-effort

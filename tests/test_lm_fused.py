@@ -31,7 +31,7 @@ class TestFusedMatchesHostLoop:
         # Records align with the host-loop log.
         for rf, rh in zip(sum_fused.iterations, sum_host.iterations):
             assert rf.accepted == rh.accepted
-            np.testing.assert_allclose(rf.cost, rh.cost, rtol=1e-10)
+            np.testing.assert_allclose(rf.cost, rh.cost, rtol=1e-6)
 
     def test_nonmonotonic_mode(self):
         state0, _, cams, tables, plan, free, weights, huber = synthetic_problem(

@@ -197,3 +197,47 @@ class TestMultiSession:
         # And they have new observations from session 2.
         for obj_id in pg2.objects:
             assert len(pg2.obj_obs_by_object[obj_id]) > 0
+
+
+class TestPairwiseCovarianceLtm:
+    def test_extraction_and_consistency_with_independent(self, tmp_path):
+        import dataclasses as dc
+
+        from obvi_slam_tpu.ltm_pairwise import (
+            PairwiseCovarianceLongTermObjectMap,
+            extract_pairwise_covariance_ltm,
+        )
+
+        data, gt_poses, gt_objects = make_object_session(seed=21)
+        config = object_config()
+        pg, fe = run_session(data, config)
+        config2 = dc.replace(config)
+        config2.optimization_factors_enabled_params = dc.replace(
+            config.optimization_factors_enabled_params,
+            min_low_level_feature_observations_per_frame=10**9,
+        )
+        pltm = extract_pairwise_covariance_ltm(pg, config2, {})
+        assert pltm is not None
+        objs = sorted(pg.objects)
+        # Diagonal blocks present for both objects + the cross block.
+        assert (objs[0], objs[0]) in pltm.pairwise_covariances
+        assert (objs[0], objs[1]) in pltm.pairwise_covariances
+        # Diagonal blocks approx match the independent extraction (both use
+        # the ridge-regularized inverse; compare loosely on well-conditioned
+        # entries: position variances).
+        ltm_ind = extract_long_term_object_map(pg, config2, {})
+        for o in objs:
+            d_pair = np.diag(pltm.pairwise_covariances[(o, o)])[:3]
+            d_ind = np.diag(ltm_ind.covariances[o])[:3]
+            np.testing.assert_allclose(d_pair, d_ind, rtol=0.2)
+        # Serialization roundtrip.
+        p = tmp_path / "pltm.json"
+        pltm.save(str(p))
+        p2 = PairwiseCovarianceLongTermObjectMap.load(str(p))
+        np.testing.assert_allclose(
+            p2.pairwise_covariances[(objs[0], objs[1])],
+            pltm.pairwise_covariances[(objs[0], objs[1])],
+        )
+        # Bridge to the independent factor path.
+        ind = pltm.to_independent()
+        assert set(ind.covariances) == set(objs)

@@ -150,3 +150,22 @@ class TestShardingEquivalence:
             np.asarray(delta1.points), np.asarray(delta2.points), rtol=1e-8, atol=1e-10
         )
         np.testing.assert_allclose(float(mc1), float(mc2), rtol=1e-8)
+
+
+class TestDistributedHelpers:
+    def test_shard_sessions_round_robin(self):
+        from obvi_slam_tpu.parallel.distributed import shard_sessions
+
+        sessions = [{"name": f"s{i}", "chain": i % 3} for i in range(9)]
+        parts = [shard_sessions(sessions, p, 3) for p in range(3)]
+        # Every session assigned exactly once; chains kept together.
+        all_names = sorted(s["name"] for part in parts for s in part)
+        assert all_names == sorted(s["name"] for s in sessions)
+        for part in parts:
+            chains = {s["chain"] for s in part}
+            assert len(chains) == 1
+
+    def test_initialize_noop_without_coordinator(self):
+        from obvi_slam_tpu.parallel.distributed import initialize
+
+        assert initialize() is False
