@@ -313,11 +313,13 @@ class LtmTunableParams:
 
     @classmethod
     def from_json(cls, d):
+        # fallback_to_prev... appeared in schema v12 (older configs lack it;
+        # the reference defaults it to true).
         return cls(
             far_feature_threshold=float(d["far_feature_threshold"]),
             min_col_norm=float(d["min_col_norm"]),
             fallback_to_prev_for_failed_extraction=_b(
-                d["fallback_to_prev_for_failed_extraction"]
+                d.get("fallback_to_prev_for_failed_extraction", 1)
             ),
         )
 
@@ -336,9 +338,10 @@ class GeometricSimilarityScorerParams:
 
     @classmethod
     def from_json(cls, d):
+        # x_y_only_merge appeared after schema v11; reference default False.
         return cls(
             max_merge_distance=float(d["max_merge_distance"]),
-            x_y_only_merge=_b(d["x_y_only_merge"]),
+            x_y_only_merge=_b(d.get("x_y_only_merge", 0)),
         )
 
 

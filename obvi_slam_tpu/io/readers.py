@@ -217,3 +217,46 @@ def read_vslam_set(
             px = np.array([float(parts[1]), float(parts[2])])
             tracks.setdefault(feat_id, {}).setdefault(frame_id, {})[camera_id] = px
     return poses, tracks
+
+
+def read_tum_consecutive_matching(directory: str, max_frames: Optional[int] = None):
+    """Reader for the reference's TUM fr2_pioneer_360 consecutive-frame
+    matching fixture (``data/TUM_fr2_pioneer_360_consecutive_frame_matching``):
+    ``<N>_curr_<timestamp>.txt`` files with a frame-id line, a GT pose line
+    ``tx ty tz qx qy qz qw`` (camera-in-world), then ``feat_id px py`` rows.
+    Feature ids are ORB track ids and persist across frames.
+
+    Returns (poses: frame -> 6-vec [t, axis-angle], tracks: feat -> frame ->
+    {cam_id: pixel}, timestamps: frame -> float). Frames renumbered densely
+    from 0.
+    """
+    import glob
+
+    files = sorted(
+        glob.glob(os.path.join(directory, "*_curr_*.txt")),
+        key=lambda p: int(os.path.basename(p).split("_")[0]),
+    )
+    if max_frames is not None:
+        files = files[:max_frames]
+    poses = {}
+    tracks: Dict[int, Dict[int, Dict[int, np.ndarray]]] = {}
+    timestamps = {}
+    for new_id, path in enumerate(files):
+        base = os.path.basename(path)
+        ts = float(base.split("_curr_")[1][:-4])
+        with open(path) as f:
+            lines = f.read().strip().splitlines()
+        vals = [float(v) for v in lines[1].split()]
+        w = _quat_to_rotvec(*vals[3:7])
+        poses[new_id] = np.concatenate([vals[:3], w])
+        timestamps[new_id] = ts
+        for line in lines[2:]:
+            a = line.split()
+            if len(a) < 3:
+                continue
+            tracks.setdefault(int(a[0]), {})[new_id] = {
+                1: np.array([float(a[1]), float(a[2])])
+            }
+    # Keep multi-observation tracks only.
+    tracks = {f: t for f, t in tracks.items() if len(t) >= 2}
+    return poses, tracks, timestamps

@@ -1,0 +1,144 @@
+"""End-to-end visual-feature-only sliding-window BA on the reference's REAL
+TUM fr2_pioneer_360 consecutive-frame-matching data (BASELINE config 1:
+the minimum-slice milestone). Exercises the full runner including the
+epipolar gate, Huber losses, and two-phase outlier rejection on genuinely
+noisy ORB matches (the data has a heavy outlier tail)."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+import obvi_slam_tpu.metrics as M
+from obvi_slam_tpu import config as cfg
+from obvi_slam_tpu.frontend import VisualFeatureFrontend
+from obvi_slam_tpu.io.readers import read_tum_consecutive_matching
+from obvi_slam_tpu.offline_data import OfflineProblemData
+from obvi_slam_tpu.pose_graph import CameraInfo, PoseGraph
+from obvi_slam_tpu.runner import OfflineProblemRunner
+
+TUM_DIR = "/root/reference/data/TUM_fr2_pioneer_360_consecutive_frame_matching"
+# TUM Freiburg2 Kinect intrinsics.
+K = np.array([[520.9, 0, 325.1], [0, 521.0, 249.7], [0, 0, 1.0]])
+N_FRAMES = 40
+
+
+def triangulate(track, poses, k_inv):
+    rows = []
+    for frame, cams in track.items():
+        px = cams[1]
+        rw = Rotation.from_rotvec(poses[frame][3:]).as_matrix()
+        t = poses[frame][:3]
+        rc = rw.T
+        tc = -rw.T @ t
+        p = np.hstack([rc, tc[:, None]])
+        xn = k_inv @ np.array([px[0], px[1], 1.0])
+        rows.append(xn[0] * p[2] - p[0])
+        rows.append(xn[1] * p[2] - p[1])
+    _, _, vt = np.linalg.svd(np.stack(rows))
+    x = vt[-1]
+    return x[:3] / max(abs(x[3]), 1e-12) * np.sign(x[3] if x[3] != 0 else 1)
+
+
+@pytest.fixture(scope="module")
+def tum_session():
+    gt_poses, tracks, timestamps = read_tum_consecutive_matching(
+        TUM_DIR, max_frames=N_FRAMES
+    )
+    cameras = {1: CameraInfo(K, np.eye(3), np.zeros(3))}
+    k_inv = np.linalg.inv(K)
+
+    rng = np.random.default_rng(17)
+    # Noisy initial trajectory by integrating noisy GT odometry.
+    init_poses = {0: gt_poses[0].copy()}
+    for i in range(1, len(gt_poses)):
+        rp = Rotation.from_rotvec(gt_poses[i - 1][3:]).as_matrix()
+        rc = Rotation.from_rotvec(gt_poses[i][3:]).as_matrix()
+        rel_t = rp.T @ (gt_poses[i][:3] - gt_poses[i - 1][:3]) + rng.normal(size=3) * 0.02
+        rel_w = Rotation.from_matrix(rp.T @ rc).as_rotvec() + rng.normal(size=3) * 0.006
+        rpi = Rotation.from_rotvec(init_poses[i - 1][3:]).as_matrix()
+        t = rpi @ rel_t + init_poses[i - 1][:3]
+        r = rpi @ Rotation.from_rotvec(rel_w).as_matrix()
+        init_poses[i] = np.concatenate([t, Rotation.from_matrix(r).as_rotvec()])
+
+    # Initial 3-D features by triangulation from GT poses (the fixture ships
+    # no depths); cheirality-checked.
+    feature_init = {}
+    usable_tracks = {}
+    for f, t in tracks.items():
+        if len(t) < 3:
+            continue
+        x = triangulate(t, gt_poses, k_inv)
+        # sanity: in front of first camera, not absurdly far
+        fr0 = min(t)
+        rw = Rotation.from_rotvec(gt_poses[fr0][3:]).as_matrix()
+        pc = rw.T @ (x - gt_poses[fr0][:3])
+        if 0.3 < pc[2] < 30 and np.linalg.norm(x) < 50:
+            feature_init[f] = x
+            usable_tracks[f] = t
+    assert len(usable_tracks) > 200, len(usable_tracks)
+
+    data = OfflineProblemData(
+        cameras=cameras,
+        feature_tracks=usable_tracks,
+        feature_init_positions=feature_init,
+        initial_poses=init_poses,
+        bounding_boxes={},
+    )
+    return data, gt_poses
+
+
+def tum_config():
+    c = cfg.read_config("/root/reference/config/base7_vis_feat_only.json")
+    c.sliding_window_params.local_ba_window_size = 12
+    c.sliding_window_params.global_ba_frequency = 10
+    en = c.optimization_factors_enabled_params
+    en.use_pose_graph_on_global_ba = False
+    en.use_pose_graph_on_final_global_ba = False
+    en.use_visual_features_on_global_ba = True
+    en.use_visual_features_on_final_global_ba = True
+    en.min_low_level_feature_observations_per_frame = 20
+    en.min_low_level_feature_observations = 3
+    for p in (
+        c.local_ba_iteration_params,
+        c.global_ba_iteration_params,
+        c.final_ba_iteration_params,
+    ):
+        p.phase_one_opt_params.max_num_iterations = 12
+        p.phase_two_opt_params.max_num_iterations = 15
+    return c
+
+
+class TestTumMinimumSlice:
+    def test_sliding_window_ba_on_real_data(self, tum_session):
+        data, gt_poses = tum_session
+        config = tum_config()
+        runner = OfflineProblemRunner(config)
+        pg = PoseGraph(data.cameras)
+        vf = VisualFeatureFrontend(
+            gba_checker=lambda f: runner._gba_checker(f, data.max_frame_id()),
+            reprojection_error_provider=lambda *a: config.visual_feature_params.reprojection_error_std_dev,
+            inlier_epipolar_err_thresh=config.visual_feature_params.inlier_epipolar_err_thresh,
+            check_past_n_frames=config.visual_feature_params.check_past_n_frames_for_epipolar_err,
+        )
+        ok = runner.run_optimization(data, pg, visual_frontend=vf)
+        assert ok
+        n = len(gt_poses)
+        gt = np.stack([gt_poses[i] for i in range(n)])
+        est = np.stack([pg.get_robot_pose(i) for i in range(n)])
+        init = np.stack([data.initial_poses[i] for i in range(n)])
+        aligned_est = M.align_with_ground_truth(gt, est)
+        aligned_init = M.align_with_ground_truth(gt, init)
+        ate_est = M.ate_for_synced_aligned(aligned_est, gt).rmse_transl_err
+        ate_init = M.ate_for_synced_aligned(aligned_init, gt).rmse_transl_err
+        # BA on the real matches must improve on dead-reckoned odometry and
+        # stay bounded. The improvement is capped by faithful reference
+        # behavior: the odometry factors are built from the (noisy) initial
+        # pose deltas at the config's tight covariance, and the epipolar gate
+        # screens matches against the same noisy initial estimates; the
+        # mocap-vs-optical frame offset adds a ~2cm floor.
+        assert ate_est < ate_init * 0.85, (ate_est, ate_init)
+        assert ate_est < 0.08, ate_est
+        # Outlier machinery engaged: phase-2 solves logged.
+        assert any(r.phase == 2 for r in runner.opt_log)
+        # Features survived the epipolar gate.
+        assert len(pg.features) > 100
