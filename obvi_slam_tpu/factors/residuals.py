@@ -38,7 +38,16 @@ def huber_rho(s, delta):
 
 
 def huber_sqrt_weight(s, delta):
-    """sqrt(rho'(s)) — IRLS row scaling for the robustified normal equations."""
+    """sqrt(rho'(s)) row scaling for the robustified normal equations.
+
+    This is EXACTLY Ceres' robustification for Huber, not an approximation:
+    Ceres' Corrector applies the Triggs alpha term only when rho''(s) > 0
+    (corrector.cc: ``if (sq_norm == 0.0 || rho[2] <= 0.0) residual_scaling_
+    = sqrt_rho1_; alpha = 0``), and HuberLoss has rho'' = 0 on the inlier
+    branch and rho'' = -delta/(2 s^{3/2}) < 0 on the outlier branch — so
+    alpha is always 0 and the correction degenerates to this sqrt(rho')
+    scaling of both residual and Jacobian.
+    """
     d2 = delta * delta
     safe = jnp.maximum(s, 1e-30)
     return jnp.where(s <= d2, 1.0, jnp.sqrt(delta / jnp.sqrt(safe)))
