@@ -597,11 +597,22 @@ def compute_step(
         dense_schur = (n_pose * 6) * (n_point * 3) <= 256 * 1024 * 1024
     if dense_schur:
         # Dense-U path: one scatter of the (pair) W blocks + one MXU matmul.
+        # precision=HIGHEST keeps the MXU contraction at full f32 operand
+        # precision (default TPU matmul rounds f32 inputs to bf16) — the
+        # contraction dim here is 3*n_point, the largest accumulation in the
+        # whole solver, and the extra bf16 passes are trivially cheap at BA
+        # problem sizes.
         u = jnp.zeros((n_pose, 6, n_point, 3), dtype=dtype)
         u = u.at[plan.pt_pair_pose, :, plan.pt_pair_point, :].add(w_pt)
-        v = jnp.einsum("pimk,mkl->piml", u, h_ll_inv)
+        v = jnp.einsum(
+            "pimk,mkl->piml", u, h_ll_inv, precision=jax.lax.Precision.HIGHEST
+        )
         s_sub = jnp.einsum(
-            "piml,qjml->piqj", v, u, preferred_element_type=dtype
+            "piml,qjml->piqj",
+            v,
+            u,
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
         s_blocks = s_blocks - jnp.transpose(s_sub, (0, 2, 1, 3))
     else:
@@ -659,10 +670,21 @@ def compute_step(
     s_sym = 0.5 * (s_dense + s_dense.T)
     chol = jnp.linalg.cholesky(s_sym)
     rhs = b_s.reshape(-1)
-    delta_chol = jax.scipy.linalg.cho_solve((chol, True), rhs)
+    delta_raw = jax.scipy.linalg.cho_solve((chol, True), rhs)
+
+    def refined():
+        # One step of iterative refinement: reuses the factorization and
+        # costs a single matvec + triangular solves, but recovers most of
+        # the accuracy an f32 Cholesky loses on ill-conditioned windows
+        # (f64-CPU vs f32-TPU parity, PARITY.md known-gaps).
+        resid = rhs - jnp.einsum(
+            "ij,j->i", s_sym, delta_raw, precision=jax.lax.Precision.HIGHEST
+        )
+        return delta_raw + jax.scipy.linalg.cho_solve((chol, True), resid)
+
     delta_flat = jax.lax.cond(
-        jnp.all(jnp.isfinite(delta_chol)),
-        lambda: delta_chol,
+        jnp.all(jnp.isfinite(delta_raw)),
+        refined,
         lambda: jnp.linalg.solve(s_dense, rhs),
     )
     delta_p = delta_flat.reshape(n_pose, 6)
