@@ -102,7 +102,10 @@ def time_iters(device, problem, lm_iteration, n_iters, warmup=2):
             state0, cams, tables, plan, free, weights, params, huber,
             dense_schur=dense_schur,
         )
-        final.cost.block_until_ready()  # warmup + compile
+        # Warmup fence via a VALUE readback: on the axon TPU tunnel,
+        # block_until_ready on a never-read-back stream does not actually
+        # wait, so only a device->host copy is a reliable timing fence.
+        float(final.cost)
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
@@ -110,10 +113,10 @@ def time_iters(device, problem, lm_iteration, n_iters, warmup=2):
                 state0, cams, tables, plan, free, weights, params, huber,
                 dense_schur=dense_schur,
             )
-        final.cost.block_until_ready()
+        cost = float(final.cost)  # fence
         dt = time.perf_counter() - t0
     total_iters = reps * int(final.it)
-    return total_iters / dt, float(final.cost)
+    return total_iters / dt, cost
 
 
 def main():

@@ -459,7 +459,9 @@ class FeatureBasedBoundingBoxFrontEnd:
             points=jnp.zeros(1, dtype=bool),
             objects=jnp.ones(len(targets), dtype=bool),
         )
-        plan = slv.build_schur_plan(tables)
+        plan = slv.build_schur_plan_host(
+            [], [], tables.reproj.capacity, bb_pose, bb_obj, tables.bbox.capacity
+        )
         huber = slv.schur.HuberParams(
             bbox=est_params.object_residual_params.object_observation_huber_loss_param,
             shape=est_params.object_residual_params.shape_dim_prior_factor_huber_loss_param,

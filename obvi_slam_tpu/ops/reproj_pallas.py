@@ -186,14 +186,23 @@ def reproj_residuals_and_jac_pallas(state, cams, f, interpret=None):
     rt, jr = pose_rotation_tables(state.poses)
     F = f.pose_idx.shape[0]
     pad = (-F) % BLOCK_F
+    n_pose = state.poses.shape[0]
+    n_cam = cams.cam_from_robot_t.shape[0]
+    # One gather per table: pose components (P, 21), camera components
+    # (C, 12) — instead of ~8 separate gathers over the factor axis.
+    pose_tab = jnp.concatenate(
+        [state.poses[:, 0:3], rt.reshape(n_pose, 9), jr.reshape(n_pose, 9)],
+        axis=1,
+    )
+    cam_tab = jnp.concatenate(
+        [cams.cam_from_robot_r.reshape(n_cam, 9), cams.cam_from_robot_t],
+        axis=1,
+    )
     comp = jnp.concatenate(
         [
-            state.poses[f.pose_idx, 0:3],  # 3
-            rt[f.pose_idx].reshape(F, 9),  # 9
-            jr[f.pose_idx].reshape(F, 9),  # 9
+            pose_tab[f.pose_idx],  # 21: pose_t(3) | rt(9) | jr(9)
             state.points[f.point_idx],  # 3
-            cams.cam_from_robot_r[f.cam_idx].reshape(F, 9),  # 9
-            cams.cam_from_robot_t[f.cam_idx],  # 3
+            cam_tab[f.cam_idx],  # 12: c_r(9) | c_t(3)
             f.rect_obs,  # 2
             f.multiplier,  # 2
         ],

@@ -3,6 +3,7 @@ from obvi_slam_tpu.solver.schur import (  # noqa: F401
     FactorWeights,
     SchurPlan,
     build_schur_plan,
+    build_schur_plan_host,
     compute_marginal_covariances,
     compute_step,
     ones_weights,

@@ -30,6 +30,7 @@ from typing import Dict, List, Optional, Set, Tuple
 import jax.numpy as jnp
 import numpy as np
 import scipy.linalg
+from scipy.spatial.transform import Rotation
 
 from obvi_slam_tpu import types as T
 from obvi_slam_tpu.pose_graph import (
@@ -406,7 +407,9 @@ def build_problem(
         rl_before.append(pose_row_of[before])
         rl_after.append(pose_row_of[after])
         rl_t.append(rel[:3])
-        rl_r.append(np.asarray(geo.exp_so3(jnp.asarray(rel[3:6]))))
+        # scipy on host — a per-factor jnp exp_so3 here costs a device
+        # round-trip per relpose factor in the window builder.
+        rl_r.append(Rotation.from_rotvec(np.asarray(rel[3:6])).as_matrix())
         rl_si.append(_sqrt_inf(cov))
     relpose = T.make_relative_pose_factors(
         rl_before, rl_after,
@@ -488,7 +491,9 @@ def build_problem(
     plan_caps = {
         k: caps[k] for k in ("pt_pair", "pt_cross", "ob_pair", "ob_cross") if k in caps
     }
-    plan = schur_mod.build_schur_plan(tables, plan_caps or None)
+    plan = schur_mod.build_schur_plan_host(
+        rp_pose, rp_point, rp_cap, bb_pose, bb_obj, bb_cap, plan_caps or None
+    )
 
     if residual_params is not None:
         huber = schur_mod.HuberParams(

@@ -241,8 +241,52 @@ def _build_pairs(block_idx, land_idx, mask, pair_cap=None, cross_cap=None):
     )
 
 
+def build_schur_plan_host(
+    rp_pose, rp_point, rp_cap, bb_pose, bb_obj, bb_cap, caps=None
+) -> SchurPlan:
+    """Plan construction from HOST (numpy/list) index arrays.
+
+    Prefer this over ``build_schur_plan`` in pipeline code: reading index
+    columns back off a device table costs a device->host transfer per plan
+    build (and on the axon TPU tunnel, the first such readback permanently
+    degrades dispatch latency for the whole process).
+
+    ``rp_pose``/``rp_point``: live reprojection (pose, point) rows;
+    ``rp_cap``: the reprojection table capacity (same for bb_*)."""
+
+    def padded(vals, cap):
+        out = np.zeros(cap, dtype=np.int32)
+        out[: len(vals)] = np.asarray(vals, dtype=np.int32)
+        mask = np.zeros(cap, dtype=bool)
+        mask[: len(vals)] = True
+        return out, mask
+
+    rp_pose_a, rp_mask = padded(rp_pose, rp_cap)
+    rp_point_a, _ = padded(rp_point, rp_cap)
+    bb_pose_a, bb_mask = padded(bb_pose, bb_cap)
+    bb_obj_a, _ = padded(bb_obj, bb_cap)
+
+    class _HostTable:
+        def __init__(self, pose_idx, land_idx, mask):
+            self.pose_idx = pose_idx
+            self.mask = mask
+            self.point_idx = land_idx
+            self.obj_idx = land_idx
+
+    class _HostTables:
+        pass
+
+    t = _HostTables()
+    t.reproj = _HostTable(rp_pose_a, rp_point_a, rp_mask)
+    t.bbox = _HostTable(bb_pose_a, bb_obj_a, bb_mask)
+    return build_schur_plan(t, caps)
+
+
 def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
     """Host-side plan construction from (numpy views of) the factor tables.
+
+    NOTE: if the tables hold device arrays this reads the index columns back
+    to host — use ``build_schur_plan_host`` in pipeline code.
 
     ``caps``: optional dict with keys pt_pair/pt_cross/ob_pair/ob_cross to pin
     capacities (for jit-signature bucketing)."""
@@ -320,6 +364,63 @@ def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
 # Ceres LevenbergMarquardtStrategy diagonal clamping.
 _MIN_DIAG = 1e-6
 _MAX_DIAG = 1e32
+
+
+def _cholesky_unrolled(a, n):
+    """Batched Cholesky of SPD (B, n, n) blocks as fully unrolled component
+    math (statically unrolled over n).
+
+    Pure VPU elementwise ops — avoids the LAPACK-style LuDecompositionBlock
+    custom call jnp.linalg.inv/cholesky lower to on TPU, which costs
+    milliseconds for thousands of tiny blocks. Inputs here are damped
+    information blocks, SPD by construction."""
+    col = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = a[:, j, j]
+        for k in range(j):
+            d = d - col[j][k] * col[j][k]
+        ljj = jnp.sqrt(jnp.maximum(d, 1e-30))
+        col[j][j] = ljj
+        for i in range(j + 1, n):
+            s = a[:, i, j]
+            for k in range(j):
+                s = s - col[i][k] * col[j][k]
+            col[i][j] = s / ljj
+    z = jnp.zeros_like(a[:, 0, 0])
+    rows = [
+        jnp.stack([col[i][j] if j <= i else z for j in range(n)], axis=-1)
+        for i in range(n)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def _tril_inverse_unrolled(l, n):
+    """Batched inverse of lower-triangular (B, n, n) blocks by unrolled
+    forward substitution (columns of the identity)."""
+    inv = [[None] * n for _ in range(n)]
+    for j in range(n):
+        for i in range(n):
+            if i < j:
+                inv[i][j] = jnp.zeros_like(l[:, 0, 0])
+            elif i == j:
+                inv[i][j] = 1.0 / l[:, i, i]
+            else:
+                s = jnp.zeros_like(l[:, 0, 0])
+                for k in range(j, i):
+                    s = s + l[:, i, k] * inv[k][j]
+                inv[i][j] = -s / l[:, i, i]
+    rows = [jnp.stack(inv[i], axis=-1) for i in range(n)]
+    return jnp.stack(rows, axis=-2)
+
+
+def _spd_inverse_and_factor(a, n):
+    """Batched SPD inverse of (B, n, n) blocks plus the factor G with
+    A^-1 = G G^T (G = L^-T from A = L L^T). Unrolled component math."""
+    l = _cholesky_unrolled(a, n)
+    l_inv = _tril_inverse_unrolled(l, n)
+    g = jnp.swapaxes(l_inv, -1, -2)
+    a_inv = jnp.einsum("bik,bjk->bij", g, g)
+    return a_inv, g
 
 
 def _block_weight(r, delta, ext_weight, mask):
@@ -437,69 +538,42 @@ def compute_step(
     )
     h_ll = ll_out[:, :9].reshape(n_point, 3, 3)
     b_l = ll_out[:, 9:12]
+    def _hb_pack(j, r, d):
+        """[J^T J (d*d) | -J^T r (d)] flattened per factor — keeps every
+        segment_sum 2-D with a lane-sized trailing dim (a (F, d, d) layout
+        puts d in the lane dimension and pads it up to 128)."""
+        h = jnp.einsum("fri,frj->fij", j, j).reshape(j.shape[0], d * d)
+        b = -jnp.einsum("fri,fr->fi", j, r)
+        return jnp.concatenate([h, b], axis=1)
+
     # H_oo (K,7,7), b_o from bbox + shape + ltm (+ object param priors below).
-    h_oo = jax.ops.segment_sum(
-        jnp.einsum("fri,frj->fij", j_bb_obj, j_bb_obj),
-        tables.bbox.obj_idx,
-        num_segments=n_obj,
+    oo_out = jax.ops.segment_sum(
+        _hb_pack(j_bb_obj, r_bb, 7), tables.bbox.obj_idx, num_segments=n_obj
     )
-    h_oo += jax.ops.segment_sum(
-        jnp.einsum("fri,frj->fij", j_sh, j_sh), tables.shape.obj_idx, num_segments=n_obj
+    oo_out += jax.ops.segment_sum(
+        _hb_pack(j_sh, r_sh, 7), tables.shape.obj_idx, num_segments=n_obj
     )
-    h_oo += jax.ops.segment_sum(
-        jnp.einsum("fri,frj->fij", j_lt, j_lt), tables.ltm.obj_idx, num_segments=n_obj
+    oo_out += jax.ops.segment_sum(
+        _hb_pack(j_lt, r_lt, 7), tables.ltm.obj_idx, num_segments=n_obj
     )
-    b_o = -jax.ops.segment_sum(
-        jnp.einsum("fri,fr->fi", j_bb_obj, r_bb), tables.bbox.obj_idx, num_segments=n_obj
-    )
-    b_o += -jax.ops.segment_sum(
-        jnp.einsum("fri,fr->fi", j_sh, r_sh), tables.shape.obj_idx, num_segments=n_obj
-    )
-    b_o += -jax.ops.segment_sum(
-        jnp.einsum("fri,fr->fi", j_lt, r_lt), tables.ltm.obj_idx, num_segments=n_obj
-    )
+    h_oo = oo_out[:, :49].reshape(n_obj, 7, 7)
+    b_o = oo_out[:, 49:56]
 
     # ---- pose blocks -----------------------------------------------------
-    h_pp = jax.ops.segment_sum(
-        jnp.einsum("fri,frj->fij", j_rp_pose, j_rp_pose),
-        tables.reproj.pose_idx,
-        num_segments=n_pose,
+    pp_out = jax.ops.segment_sum(
+        _hb_pack(j_rp_pose, r_rp, 6), tables.reproj.pose_idx, num_segments=n_pose
     )
-    h_pp += jax.ops.segment_sum(
-        jnp.einsum("fri,frj->fij", j_bb_pose, j_bb_pose),
-        tables.bbox.pose_idx,
-        num_segments=n_pose,
+    pp_out += jax.ops.segment_sum(
+        _hb_pack(j_bb_pose, r_bb, 6), tables.bbox.pose_idx, num_segments=n_pose
     )
-    h_pp += jax.ops.segment_sum(
-        jnp.einsum("fri,frj->fij", j_rl_b, j_rl_b),
-        tables.relpose.before_idx,
-        num_segments=n_pose,
+    pp_out += jax.ops.segment_sum(
+        _hb_pack(j_rl_b, r_rl, 6), tables.relpose.before_idx, num_segments=n_pose
     )
-    h_pp += jax.ops.segment_sum(
-        jnp.einsum("fri,frj->fij", j_rl_a, j_rl_a),
-        tables.relpose.after_idx,
-        num_segments=n_pose,
+    pp_out += jax.ops.segment_sum(
+        _hb_pack(j_rl_a, r_rl, 6), tables.relpose.after_idx, num_segments=n_pose
     )
-    b_p = -jax.ops.segment_sum(
-        jnp.einsum("fri,fr->fi", j_rp_pose, r_rp),
-        tables.reproj.pose_idx,
-        num_segments=n_pose,
-    )
-    b_p += -jax.ops.segment_sum(
-        jnp.einsum("fri,fr->fi", j_bb_pose, r_bb),
-        tables.bbox.pose_idx,
-        num_segments=n_pose,
-    )
-    b_p += -jax.ops.segment_sum(
-        jnp.einsum("fri,fr->fi", j_rl_b, r_rl),
-        tables.relpose.before_idx,
-        num_segments=n_pose,
-    )
-    b_p += -jax.ops.segment_sum(
-        jnp.einsum("fri,fr->fi", j_rl_a, r_rl),
-        tables.relpose.after_idx,
-        num_segments=n_pose,
-    )
+    h_pp = pp_out[:, :36].reshape(n_pose, 6, 6)
+    b_p = pp_out[:, 36:42]
 
     # ---- scalar param priors into diagonals ------------------------------
     pp_live = pp.mask.astype(dtype)
@@ -516,23 +590,40 @@ def compute_step(
     pose_pi = jnp.clip(pp.param_idx, 0, 5)
     point_pi = jnp.clip(pp.param_idx, 0, 2)
     obj_pi = jnp.clip(pp.param_idx, 0, 6)
-    h_pp = h_pp.at[
-        jnp.clip(pp.block_idx, 0, n_pose - 1), pose_pi, pose_pi
-    ].add(pp_w2 * is_pose)
-    h_ll = h_ll.at[
-        jnp.clip(pp.block_idx, 0, n_point - 1), point_pi, point_pi
-    ].add(pp_w2 * is_point)
-    h_oo = h_oo.at[
-        jnp.clip(pp.block_idx, 0, n_obj - 1), obj_pi, obj_pi
-    ].add(pp_w2 * is_obj)
     grad_pp = pp.inv_std * r_pp * pp_live
-    b_p = b_p.at[jnp.clip(pp.block_idx, 0, n_pose - 1), pose_pi].add(
-        -grad_pp * is_pose
+
+    # One-hot matmul accumulation instead of scatter-add: the prior table is
+    # tiny (rank-repair priors only), but a TPU scatter into the H blocks
+    # costs ~1 ms in launch overhead alone; a (cap, size) one-hot contraction
+    # is pure MXU/VPU work.
+    def _prior_accum(block, dim, size, values):
+        flat = jnp.clip(pp.block_idx, 0, block - 1) * dim + jnp.clip(
+            pp.param_idx, 0, dim - 1
+        )
+        oh = jax.nn.one_hot(flat, size, dtype=dtype)
+        return jnp.einsum("c,cs->s", values, oh)
+
+    def _diag_add(h, vec, n, dim):
+        return h + vec.reshape(n, dim)[:, :, None] * jnp.eye(dim, dtype=dtype)
+
+    h_pp = _diag_add(
+        h_pp, _prior_accum(n_pose, 6, n_pose * 6, pp_w2 * is_pose), n_pose, 6
     )
-    b_l = b_l.at[jnp.clip(pp.block_idx, 0, n_point - 1), point_pi].add(
-        -grad_pp * is_point
+    h_ll = _diag_add(
+        h_ll, _prior_accum(n_point, 3, n_point * 3, pp_w2 * is_point), n_point, 3
     )
-    b_o = b_o.at[jnp.clip(pp.block_idx, 0, n_obj - 1), obj_pi].add(-grad_pp * is_obj)
+    h_oo = _diag_add(
+        h_oo, _prior_accum(n_obj, 7, n_obj * 7, pp_w2 * is_obj), n_obj, 7
+    )
+    b_p = b_p + _prior_accum(n_pose, 6, n_pose * 6, -grad_pp * is_pose).reshape(
+        n_pose, 6
+    )
+    b_l = b_l + _prior_accum(n_point, 3, n_point * 3, -grad_pp * is_point).reshape(
+        n_point, 3
+    )
+    b_o = b_o + _prior_accum(n_obj, 7, n_obj * 7, -grad_pp * is_obj).reshape(
+        n_obj, 7
+    )
 
     # ---- gradient max (for Ceres gradient_tolerance check) ---------------
     grad_max = jnp.maximum(
@@ -561,60 +652,85 @@ def compute_step(
     oo_singular = jnp.abs(jnp.diagonal(h_oo, axis1=-2, axis2=-1)).sum(-1) < 1e-12
     h_ll_d = jnp.where(ll_singular[:, None, None], eye3, h_ll_d)
     h_oo_d = jnp.where(oo_singular[:, None, None], eye7, h_oo_d)
-    h_ll_inv = jnp.linalg.inv(h_ll_d)
-    h_oo_inv = jnp.linalg.inv(h_oo_d)
+    h_ll_inv, g_ll = _spd_inverse_and_factor(h_ll_d, 3)
+    h_oo_inv, _ = _spd_inverse_and_factor(h_oo_d, 7)
 
-    # ---- W pair blocks ---------------------------------------------------
+    # ---- W pair blocks (2-D packed segment sums, see _hb_pack note) ------
     n_pt_pair = plan.pt_pair_pose.shape[0]
     w_pt = jax.ops.segment_sum(
-        jnp.einsum("fri,frj->fij", j_rp_pose, j_rp_point),
+        jnp.einsum("fri,frj->fij", j_rp_pose, j_rp_point).reshape(-1, 18),
         plan.rp_factor_pair,
         num_segments=n_pt_pair,
-    )  # (Np, 6, 3)
+    ).reshape(n_pt_pair, 6, 3)
     w_pt = w_pt * plan.pt_pair_mask[:, None, None].astype(dtype)
     n_ob_pair = plan.ob_pair_pose.shape[0]
     w_ob = jax.ops.segment_sum(
-        jnp.einsum("fri,frj->fij", j_bb_pose, j_bb_obj),
+        jnp.einsum("fri,frj->fij", j_bb_pose, j_bb_obj).reshape(-1, 42),
         plan.bb_factor_pair,
         num_segments=n_ob_pair,
-    )  # (No, 6, 7)
+    ).reshape(n_ob_pair, 6, 7)
     w_ob = w_ob * plan.ob_pair_mask[:, None, None].astype(dtype)
 
     # ---- dense reduced camera system S -----------------------------------
-    s_blocks = jnp.zeros((n_pose, n_pose, 6, 6), dtype=dtype)
+    # Assembled directly in (P, 6, P, 6) so the flattening to (6P, 6P) is a
+    # free bitcast instead of a 75MB transpose-copy. Fixed/unconstrained
+    # poses get identity diagonal blocks; every off-diagonal contribution
+    # (relpose cross, Schur subtraction) is already zero for such poses
+    # because their Jacobian blocks were masked at evaluation time, so no
+    # whole-matrix row/col masking is needed.
+    pose_active = (
+        jnp.abs(jnp.diagonal(h_pp, axis1=-2, axis2=-1)).sum(-1) > 1e-12
+    ) & free.poses
+    eye6 = jnp.eye(6, dtype=dtype)
+    act = pose_active.astype(dtype)
     diag_idx = jnp.arange(n_pose)
-    s_blocks = s_blocks.at[diag_idx, diag_idx].add(h_pp_d)
+    h_pp_masked = h_pp_d * act[:, None, None] + (1.0 - act)[:, None, None] * eye6
     # Relpose cross terms (i != j): H_ij = J_i^T J_j.
     rl_cross = jnp.einsum("fri,frj->fij", j_rl_b, j_rl_a)
-    s_blocks = s_blocks.at[tables.relpose.before_idx, tables.relpose.after_idx].add(
-        rl_cross
-    )
-    s_blocks = s_blocks.at[tables.relpose.after_idx, tables.relpose.before_idx].add(
-        jnp.swapaxes(rl_cross, -1, -2)
-    )
+    # All block contributions land in ONE scatter-add at the end (each
+    # .at[].add on the (P,6,P,6) buffer costs a full-buffer copy).
+    s4_idx_a = [diag_idx, tables.relpose.before_idx, tables.relpose.after_idx]
+    s4_idx_b = [diag_idx, tables.relpose.after_idx, tables.relpose.before_idx]
+    s4_updates = [h_pp_masked, rl_cross, jnp.swapaxes(rl_cross, -1, -2)]
     # Schur subtraction for feature points.
     if dense_schur is None:
         dense_schur = (n_pose * 6) * (n_point * 3) <= 256 * 1024 * 1024
+    s_sub2 = None
     if dense_schur:
-        # Dense-U path: one scatter of the (pair) W blocks + one MXU matmul.
-        # precision=HIGHEST keeps the MXU contraction at full f32 operand
-        # precision (default TPU matmul rounds f32 inputs to bf16) — the
-        # contraction dim here is 3*n_point, the largest accumulation in the
-        # whole solver, and the extra bf16 passes are trivially cheap at BA
-        # problem sizes.
-        u = jnp.zeros((n_pose, 6, n_point, 3), dtype=dtype)
-        u = u.at[plan.pt_pair_pose, :, plan.pt_pair_point, :].add(w_pt)
-        v = jnp.einsum(
-            "pimk,mkl->piml", u, h_ll_inv, precision=jax.lax.Precision.HIGHEST
+        # Dense-U path. Two TPU-layout considerations shape this code:
+        # (1) U is built directly as a 2-D (6P, 3M) matrix — a 4-D
+        #     (P, 6, M, 3) block layout puts 3 in the lane dimension and XLA
+        #     pads it 42x, turning the scatter/copy into the step's biggest
+        #     HBM cost.
+        # (2) The per-landmark Hll^-1 is folded into U via its Cholesky
+        #     factor G (Hll^-1 = G G^T), so the Schur subtraction is the
+        #     single symmetric MXU matmul (U G)(U G)^T — no second U-sized
+        #     buffer for U Hll^-1.
+        # precision=HIGHEST keeps the contraction at full f32 operand
+        # precision (default TPU matmul rounds f32 inputs to bf16); the
+        # contraction dim here is 3*n_point, the largest accumulation in
+        # the whole solver.
+        w_scaled = jnp.einsum(
+            "pik,pkl->pil", w_pt, g_ll[plan.pt_pair_point]
+        )  # (Np, 6, 3)
+        # Padding pairs are routed out of bounds and dropped so the scatter
+        # indices are genuinely unique (a window-scatter formulation was
+        # tried and is 10x slower on TPU than this element scatter).
+        live_pair = plan.pt_pair_mask
+        safe_pose = jnp.where(live_pair, plan.pt_pair_pose, n_pose)
+        rows = safe_pose[:, None] * 6 + jnp.arange(6)  # (Np, 6)
+        cols = plan.pt_pair_point[:, None] * 3 + jnp.arange(3)  # (Np, 3)
+        u2 = jnp.zeros((n_pose * 6, n_point * 3), dtype=dtype)
+        u2 = u2.at[rows[:, :, None], cols[:, None, :]].set(
+            w_scaled, mode="drop", unique_indices=True
         )
-        s_sub = jnp.einsum(
-            "piml,qjml->piqj",
-            v,
-            u,
-            preferred_element_type=dtype,
+        s_sub2 = jax.lax.dot_general(
+            u2,
+            u2,
+            (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-        )
-        s_blocks = s_blocks - jnp.transpose(s_sub, (0, 2, 1, 3))
+            preferred_element_type=dtype,
+        )  # (6P, 6P)
     else:
         # Pair-enumeration path: combine rows sharing a destination with a
         # sorted segment_sum, scatter unique dests.
@@ -628,7 +744,9 @@ def compute_step(
             cross_pt, plan.pt_cross_dest, num_segments=n_pt_dest,
             indices_are_sorted=True,
         ) * plan.pt_dest_mask[:, None, None].astype(dtype)
-        s_blocks = s_blocks.at[plan.pt_dest_a, plan.pt_dest_b].add(dest_pt)
+        s4_idx_a.append(plan.pt_dest_a)
+        s4_idx_b.append(plan.pt_dest_b)
+        s4_updates.append(dest_pt)
     wha_ob = jnp.einsum(
         "cik,ckl->cil", w_ob[plan.ob_cross_a], h_oo_inv[plan.ob_pair_obj[plan.ob_cross_a]]
     )
@@ -639,7 +757,22 @@ def compute_step(
         cross_ob, plan.ob_cross_dest, num_segments=n_ob_dest,
         indices_are_sorted=True,
     ) * plan.ob_dest_mask[:, None, None].astype(dtype)
-    s_blocks = s_blocks.at[plan.ob_dest_a, plan.ob_dest_b].add(dest_ob)
+    s4_idx_a.append(plan.ob_dest_a)
+    s4_idx_b.append(plan.ob_dest_b)
+    s4_updates.append(dest_ob)
+
+    # Scatter the block contributions directly into the (negated) Schur
+    # subtraction buffer — reusing the dead s_sub2 buffer lets XLA do the
+    # scatter in place instead of materializing + copying a fresh zeros
+    # (P,6,P,6) base.
+    if s_sub2 is not None:
+        s4_base = (-s_sub2).reshape(n_pose, 6, n_pose, 6)
+        s_sub2 = None
+    else:
+        s4_base = jnp.zeros((n_pose, 6, n_pose, 6), dtype=dtype)
+    s4 = s4_base.at[
+        jnp.concatenate(s4_idx_a), :, jnp.concatenate(s4_idx_b), :
+    ].add(jnp.concatenate(s4_updates, axis=0))
 
     # Reduced RHS: b_S = b_p - sum_pairs W Hll^-1 b_l.
     b_s = b_p
@@ -652,41 +785,32 @@ def compute_step(
     )
     b_s = b_s.at[plan.ob_pair_pose].add(-wb_ob)
 
-    # Fixed / unconstrained poses: identity rows.
-    pose_active = (
-        jnp.abs(jnp.diagonal(h_pp, axis1=-2, axis2=-1)).sum(-1) > 1e-12
-    ) & free.poses
-    eye6 = jnp.eye(6, dtype=dtype)
-    act = pose_active.astype(dtype)
-    s_blocks = s_blocks * act[:, None, None, None] * act[None, :, None, None]
-    s_blocks = s_blocks.at[diag_idx, diag_idx].add(
-        (1.0 - act)[:, None, None] * eye6
-    )
     b_s = b_s * act[:, None]
 
-    s_dense = s_blocks.transpose(0, 2, 1, 3).reshape(n_pose * 6, n_pose * 6)
-    # S is SPD after LM damping: Cholesky (~2x cheaper than LU), with an LU
-    # fallback if the factorization produced non-finite values.
+    # (Rows/cols of the folded s_sub2 for fixed or unconstrained poses are
+    # exactly zero — their Jacobian blocks were masked before W assembly —
+    # so folding it under the identity-diag masking above is safe.)
+    s_dense = s4.reshape(n_pose * 6, n_pose * 6)
     s_sym = 0.5 * (s_dense + s_dense.T)
     chol = jnp.linalg.cholesky(s_sym)
     rhs = b_s.reshape(-1)
     delta_raw = jax.scipy.linalg.cho_solve((chol, True), rhs)
-
-    def refined():
-        # One step of iterative refinement: reuses the factorization and
-        # costs a single matvec + triangular solves, but recovers most of
-        # the accuracy an f32 Cholesky loses on ill-conditioned windows
-        # (f64-CPU vs f32-TPU parity, PARITY.md known-gaps).
-        resid = rhs - jnp.einsum(
-            "ij,j->i", s_sym, delta_raw, precision=jax.lax.Precision.HIGHEST
-        )
-        return delta_raw + jax.scipy.linalg.cho_solve((chol, True), resid)
-
-    delta_flat = jax.lax.cond(
-        jnp.all(jnp.isfinite(delta_raw)),
-        refined,
-        lambda: jnp.linalg.solve(s_dense, rhs),
+    # One step of iterative refinement: reuses the factorization and costs a
+    # single matvec + triangular solves, but recovers most of the accuracy an
+    # f32 Cholesky loses on ill-conditioned windows (f64-CPU vs f32-TPU
+    # parity, PARITY.md known-gaps). Runs unconditionally — keeping it out of
+    # the cond avoids a pipeline sync around the whole solve; the cond below
+    # only selects the (rarely taken) LU fallback.
+    resid = rhs - jnp.einsum(
+        "ij,j->i", s_sym, delta_raw, precision=jax.lax.Precision.HIGHEST
     )
+    delta_ref = delta_raw + jax.scipy.linalg.cho_solve((chol, True), resid)
+    # If the Cholesky failed (indefinite S before enough damping), zero the
+    # step: model_cost_change becomes 0 and the LM loop rejects the step and
+    # shrinks the radius — exactly Ceres' linear-solver-failure handling
+    # (and cheaper than an LU-fallback branch, which costs a ~2 ms pipeline
+    # sync as a lax.cond even when never taken).
+    delta_flat = jnp.where(jnp.all(jnp.isfinite(delta_ref)), delta_ref, 0.0)
     delta_p = delta_flat.reshape(n_pose, 6)
 
     # ---- back-substitution ----------------------------------------------

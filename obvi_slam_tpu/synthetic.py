@@ -212,7 +212,14 @@ def synthetic_problem(
         ltm=T.empty_ltm_prior_factors(dtype=dtype),
         param_prior=T.empty_param_prior_factors(dtype=dtype),
     )
-    plan = slv.build_schur_plan(tables)
+    plan = slv.build_schur_plan_host(
+        pose_idx,
+        pt_idx,
+        reproj.capacity,
+        flat_o_pose[keep_o],
+        flat_o_obj[keep_o],
+        bbox.capacity,
+    )
 
     state_gt = T.BAState(
         poses=jnp.asarray(gt_poses.astype(dtype)),
