@@ -37,6 +37,14 @@ def main(argv=None):
     parser.add_argument("--opt_log_file", default="")
     parser.add_argument("--platform", default="", help="jax platform override (cpu/tpu)")
     parser.add_argument("--f64", action="store_true", help="double-precision solves")
+    parser.add_argument(
+        "--profile_trace_dir",
+        default="",
+        help="capture a jax.profiler trace of the whole session into this "
+        "directory (TensorBoard/Perfetto format) — the TPU-native analog of "
+        "the reference's RUN_TIMERS cumulative tracing (SURVEY.md §5); the "
+        "per-phase wall-clock table (--timing_report_file) is always on",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -159,7 +167,12 @@ def main(argv=None):
         enforce_epipolar=config.visual_feature_params.enforce_epipolar_error_requirement,
     )
 
-    ok = runner.run_optimization(data, pg, visual_frontend=vf)
+    if args.profile_trace_dir:
+        os.makedirs(args.profile_trace_dir, exist_ok=True)
+        with jax.profiler.trace(args.profile_trace_dir):
+            ok = runner.run_optimization(data, pg, visual_frontend=vf)
+    else:
+        ok = runner.run_optimization(data, pg, visual_frontend=vf)
     if not ok:
         logger.error("Optimization failed")
         return 1

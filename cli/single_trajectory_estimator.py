@@ -26,6 +26,13 @@ def main(argv=None):
     parser.add_argument("--intrinsics_file", required=True)
     parser.add_argument("--extrinsics_file", required=True)
     parser.add_argument("--orb_out_dir", required=True, help="reformatted ORB output")
+    parser.add_argument(
+        "--raw_orb_matches_dir",
+        default="",
+        help="raw stereo-ORB match files; when given, reformatted into "
+        "--orb_out_dir first (reference runOrbPostProcess step 1, "
+        "single_trajectory_estimator.py:119-176)",
+    )
     parser.add_argument("--raw_data_path", default="", help="velocities/depths for unprojection")
     parser.add_argument("--calibration_path", default="")
     parser.add_argument("--bounding_boxes_by_node_id_file", default="")
@@ -38,6 +45,14 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     os.makedirs(args.output_dir, exist_ok=True)
+    if args.raw_orb_matches_dir:
+        run(
+            [
+                REPO / "cli" / "orb_stereo_reformat_data.py",
+                "-i", args.raw_orb_matches_dir,
+                "-o", args.orb_out_dir,
+            ]
+        )
     feats_dir = args.orb_out_dir
     poses_file = os.path.join(feats_dir, "poses", "initial_robot_poses_by_node.txt")
 

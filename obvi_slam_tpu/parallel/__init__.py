@@ -1,5 +1,6 @@
 from obvi_slam_tpu.parallel.sharding import (  # noqa: F401
     make_mesh,
+    replicate,
     shard_plan,
     shard_problem,
     shard_tables,

@@ -38,23 +38,37 @@ def make_mesh(devices=None, axis_name: str = FACTOR_AXIS) -> Mesh:
     return Mesh(np.array(devices), (axis_name,))
 
 
+def _put_global(x, sharding):
+    """device_put that also works on a multi-host mesh: under jax.distributed
+    each process holds the full host value (problems are built identically on
+    every host), so each process materializes only its addressable shards."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def _shard_leading(tree, mesh, axis_name):
     """Shard every array's leading axis across the mesh (capacity axes are
     power-of-two bucketed, so they divide any power-of-two device count)."""
     n = mesh.devices.size
     sharding = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
 
     def put(x):
         if x.ndim >= 1 and x.shape[0] % n == 0:
-            return jax.device_put(x, sharding)
-        return jax.device_put(x, NamedSharding(mesh, P()))
+            return _put_global(x, sharding)
+        return _put_global(x, repl)
 
     return jax.tree_util.tree_map(put, tree)
 
 
-def _replicate(tree, mesh):
+def replicate(tree, mesh):
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(lambda x: _put_global(x, sharding), tree)
+
+
+_replicate = replicate
 
 
 def shard_tables(tables, mesh, axis_name=FACTOR_AXIS):
@@ -84,8 +98,8 @@ def shard_plan(plan, mesh, axis_name=FACTOR_AXIS):
             "ob_cross_mask",
         }
         if name in sharded_fields and x.shape[0] % n == 0:
-            return jax.device_put(x, shard)
-        return jax.device_put(x, repl)
+            return _put_global(x, shard)
+        return _put_global(x, repl)
 
     return type(plan)(**{k: put(k, v) for k, v in plan._asdict().items()})
 

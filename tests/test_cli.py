@@ -118,7 +118,7 @@ def session_files(tmp_path_factory):
     return out, gt_poses, gt_objects
 
 
-def run_cli(script, args, timeout=500):
+def run_cli(script, args, timeout=900):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     if "offline_object_visual_slam" in script:
@@ -216,7 +216,7 @@ class TestUtilityBinaries:
         r = subprocess.run(
             [sys.executable, str(REPO / "cli" / "write_configuration.py"),
              "--config_output_file", str(out)],
-            capture_output=True, text=True, timeout=120,
+            capture_output=True, text=True, timeout=300,
         )
         assert r.returncode == 0, r.stderr
         sys.path.insert(0, str(REPO))
@@ -236,7 +236,7 @@ class TestUtilityBinaries:
              "--output_feature_obs_dir", str(tmp_path / "sparse_orb"),
              "--max_pose_inc_threshold_transl", "0.35",
              "--max_pose_inc_threshold_rot", "0.5"],
-            capture_output=True, text=True, timeout=120,
+            capture_output=True, text=True, timeout=300,
         )
         assert r.returncode == 0, r.stderr
         from obvi_slam_tpu.io.readers import read_poses_by_node_id
@@ -267,7 +267,7 @@ class TestUtilityBinaries:
              "--poses_by_timestamp_file", str(poses),
              "--required_timestamps_file", str(req),
              "--poses_out_file", str(out)],
-            capture_output=True, text=True, timeout=120,
+            capture_output=True, text=True, timeout=300,
         )
         assert r.returncode == 0, r.stderr
         row = open(out).read().strip().splitlines()[1].split(",")
@@ -311,7 +311,7 @@ class TestCheckpointResume:
              "--start_at_frame", "7",
              "--robot_poses_results_file", str(res / "resumed_poses.csv"),
              "--platform", "cpu"],
-            capture_output=True, text=True, timeout=400,
+            capture_output=True, text=True, timeout=900,
         )
         assert r.returncode == 0, r.stderr[-2000:]
         assert (res / "resumed_poses.csv").exists()
@@ -329,7 +329,7 @@ class TestCheckpointResume:
              "--extrinsics_file", str(out / "extrinsics.csv"),
              "--long_term_map_output", str(res / "ltm2.json"),
              "--platform", "cpu"],
-            capture_output=True, text=True, timeout=400,
+            capture_output=True, text=True, timeout=900,
         )
         assert r.returncode == 0, r.stderr[-2000:]
 
@@ -337,7 +337,7 @@ class TestCheckpointResume:
         r = subprocess.run(
             [sys.executable, str(REPO / "cli" / "display_ltm.py"),
              str(res / "ltm2.json"), "--covariances"],
-            capture_output=True, text=True, timeout=120,
+            capture_output=True, text=True, timeout=300,
         )
         assert r.returncode == 0, r.stderr
         assert "Long-term map" in r.stdout
@@ -346,6 +346,6 @@ class TestCheckpointResume:
         # earlier full-session test if present — here just check help runs.
         r = subprocess.run(
             [sys.executable, str(REPO / "cli" / "timing_analysis.py"), "--help"],
-            capture_output=True, text=True, timeout=60,
+            capture_output=True, text=True, timeout=300,
         )
         assert r.returncode == 0

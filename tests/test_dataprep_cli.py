@@ -251,3 +251,36 @@ def test_oa_slam_data_generator(tmp_path):
     det = (out / "1" / "detections" / "detections.txt").read_text()
     assert "file_name\n1/0.png\ndetections\ncategory_id\n56\n" in det
     assert "10.0,20.0,110.0,220.0" in det
+
+
+def test_orb_stereo_reformat_data(tmp_path):
+    """Raw stereo-ORB match files -> per-frame feature + depth files
+    (orb_stereo_reformat_data.py parity: negative depths dropped, multiple
+    match files per frame merged)."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    pose = "1.0 2.0 3.0 0.0 0.0 0.0 1.0"
+    # frame 5 @ ts 100.5, matched against 4 and 6 (two files, merged).
+    (raw / "5_x_100.5_vs_4.txt").write_text(
+        f"5\n{pose}\n"
+        "11 10.0 20.0 2.5 8.0 20.0\n"
+        "12 30.0 40.0 -1.0 28.0 40.0\n"  # negative depth: dropped
+    )
+    (raw / "5_x_100.5_vs_6.txt").write_text(
+        f"5\n{pose}\n13 50.0 60.0 4.0 47.0 60.0\n"
+    )
+    # A file whose compared frame is not frame±1 is skipped with a warning.
+    (raw / "5_x_100.5_vs_9.txt").write_text(f"5\n{pose}\n14 1.0 2.0 3.0 0.5 2.0\n")
+    out = tmp_path / "out"
+    run_cli("orb_stereo_reformat_data.py", ["-i", str(raw), "-o", str(out)])
+
+    lines = (out / "5.txt").read_text().strip().splitlines()
+    assert lines[0] == "5"
+    assert lines[1] == pose
+    feats = {int(l.split()[0]): l.split() for l in lines[2:]}
+    assert set(feats) == {11, 13}  # 12 dropped (neg depth), 14 skipped file
+    assert feats[11][1:] == ["1", "10.0", "20.0", "2", "8.0", "20.0"]
+
+    dlines = (out / "depths" / "5.txt").read_text().strip().splitlines()
+    depths = {int(l.split()[0]): float(l.split()[1]) for l in dlines[2:]}
+    assert depths == {11: 2.5, 13: 4.0}
