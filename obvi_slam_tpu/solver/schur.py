@@ -566,13 +566,18 @@ def compute_step(
     pp_out += jax.ops.segment_sum(
         _hb_pack(j_bb_pose, r_bb, 6), tables.bbox.pose_idx, num_segments=n_pose
     )
-    pp_out += jax.ops.segment_sum(
+    # Relpose H/b kept separate: the dense-S path carries the relpose factor
+    # contribution (diag + cross) through a V V^T gram matmul instead, so it
+    # needs h_pp WITHOUT the relpose diagonal (b_p and damping use the total).
+    pp_rel_out = jax.ops.segment_sum(
         _hb_pack(j_rl_b, r_rl, 6), tables.relpose.before_idx, num_segments=n_pose
     )
-    pp_out += jax.ops.segment_sum(
+    pp_rel_out += jax.ops.segment_sum(
         _hb_pack(j_rl_a, r_rl, 6), tables.relpose.after_idx, num_segments=n_pose
     )
+    pp_out += pp_rel_out
     h_pp = pp_out[:, :36].reshape(n_pose, 6, 6)
+    h_pp_rel = pp_rel_out[:, :36].reshape(n_pose, 6, 6)
     b_p = pp_out[:, 36:42]
 
     # ---- scalar param priors into diagonals ------------------------------
@@ -653,7 +658,7 @@ def compute_step(
     h_ll_d = jnp.where(ll_singular[:, None, None], eye3, h_ll_d)
     h_oo_d = jnp.where(oo_singular[:, None, None], eye7, h_oo_d)
     h_ll_inv, g_ll = _spd_inverse_and_factor(h_ll_d, 3)
-    h_oo_inv, _ = _spd_inverse_and_factor(h_oo_d, 7)
+    h_oo_inv, g_oo = _spd_inverse_and_factor(h_oo_d, 7)
 
     # ---- W pair blocks (2-D packed segment sums, see _hb_pack note) ------
     n_pt_pair = plan.pt_pair_pose.shape[0]
@@ -684,20 +689,38 @@ def compute_step(
     eye6 = jnp.eye(6, dtype=dtype)
     act = pose_active.astype(dtype)
     diag_idx = jnp.arange(n_pose)
-    h_pp_masked = h_pp_d * act[:, None, None] + (1.0 - act)[:, None, None] * eye6
-    # Relpose cross terms (i != j): H_ij = J_i^T J_j.
-    rl_cross = jnp.einsum("fri,frj->fij", j_rl_b, j_rl_a)
-    # All block contributions land in ONE scatter-add at the end (each
-    # .at[].add on the (P,6,P,6) buffer costs a full-buffer copy).
-    s4_idx_a = [diag_idx, tables.relpose.before_idx, tables.relpose.after_idx]
-    s4_idx_b = [diag_idx, tables.relpose.after_idx, tables.relpose.before_idx]
-    s4_updates = [h_pp_masked, rl_cross, jnp.swapaxes(rl_cross, -1, -2)]
-    # Schur subtraction for feature points.
     if dense_schur is None:
         dense_schur = (n_pose * 6) * (n_point * 3) <= 256 * 1024 * 1024
+
+    def _gram(m):
+        """m @ m.T at full f32 operand precision (see HIGHEST note below)."""
+        return jax.lax.dot_general(
+            m,
+            m,
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype,
+        )
+
+    def _dense_from_pairs(row_blk, col_blk, live, blocks, n_land, bh, bw):
+        """Dense (bh*P, bw*n_land) block matrix: block (row_blk[k],
+        col_blk[k]) = blocks[k]. Built by element scatter — on TPU this
+        lowers to sort+scatter at ~5-6 ns/element of UPDATES, which beats
+        both a window scatter (10x slower, tried) and a flat gather
+        (~9 ns/element of the full OUTPUT, i.e. 60x slower here, profiled).
+        Dead rows are routed out of bounds and dropped so indices are
+        genuinely unique."""
+        safe_row = jnp.where(live, row_blk, n_pose)
+        rows = safe_row[:, None] * bh + jnp.arange(bh)  # (K, bh)
+        cols = col_blk[:, None] * bw + jnp.arange(bw)  # (K, bw)
+        out = jnp.zeros((n_pose * bh, n_land * bw), dtype=dtype)
+        return out.at[rows[:, :, None], cols[:, None, :]].set(
+            blocks, mode="drop", unique_indices=True
+        )
+
     s_sub2 = None
     if dense_schur:
-        # Dense-U path. Two TPU-layout considerations shape this code:
+        # Dense-U path. Three TPU-layout considerations shape this code:
         # (1) U is built directly as a 2-D (6P, 3M) matrix — a 4-D
         #     (P, 6, M, 3) block layout puts 3 in the lane dimension and XLA
         #     pads it 42x, turning the scatter/copy into the step's biggest
@@ -713,27 +736,93 @@ def compute_step(
         w_scaled = jnp.einsum(
             "pik,pkl->pil", w_pt, g_ll[plan.pt_pair_point]
         )  # (Np, 6, 3)
-        # Padding pairs are routed out of bounds and dropped so the scatter
-        # indices are genuinely unique (a window-scatter formulation was
-        # tried and is 10x slower on TPU than this element scatter).
-        live_pair = plan.pt_pair_mask
-        safe_pose = jnp.where(live_pair, plan.pt_pair_pose, n_pose)
-        rows = safe_pose[:, None] * 6 + jnp.arange(6)  # (Np, 6)
-        cols = plan.pt_pair_point[:, None] * 3 + jnp.arange(3)  # (Np, 3)
-        u2 = jnp.zeros((n_pose * 6, n_point * 3), dtype=dtype)
-        u2 = u2.at[rows[:, :, None], cols[:, None, :]].set(
-            w_scaled, mode="drop", unique_indices=True
+        u2 = _dense_from_pairs(
+            plan.pt_pair_pose,
+            plan.pt_pair_point,
+            plan.pt_pair_mask,
+            w_scaled,
+            n_point,
+            6,
+            3,
         )
-        s_sub2 = jax.lax.dot_general(
-            u2,
-            u2,
-            (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=dtype,
-        )  # (6P, 6P)
+        s_sub2 = _gram(u2)  # (6P, 6P)
+
+        # Object (bbox) Schur subtraction folded into a second, tiny gram
+        # matmul the same way: v_ob = W_ob G_oo on the (pose, object) grid
+        # reproduces every -W_a Hoo^-1 W_b^T block (diagonal included) with
+        # no 4-D scatter into S.
+        w_ob_scaled = jnp.einsum(
+            "pik,pkl->pil", w_ob, g_oo[plan.ob_pair_obj]
+        )  # (No, 6, 7)
+        v_ob = _dense_from_pairs(
+            plan.ob_pair_pose,
+            plan.ob_pair_obj,
+            plan.ob_pair_mask,
+            w_ob_scaled,
+            n_obj,
+            6,
+            7,
+        )
+
+        # Relpose factor contribution (diagonal + cross, + sign) as a third
+        # gram: V_rel[(p,i), (k,r)] = J_{p,k}[r,i] for p in {before_k,
+        # after_k}, so V_rel V_rel^T sums J_p^T J_q over relpose factors —
+        # exactly the blocks the reference's Ceres problem assembles for
+        # RelativePoseFactor. (h_pp_rel is excluded from the diagonal below
+        # to avoid double counting.) Assumes before != after per live factor
+        # (a self-relative-pose factor is meaningless and never created,
+        # relative_pose_factor.h:32-61).
+        # Pose-diagonal blocks (damped h_pp minus the relpose part carried
+        # by V_rel below; identity for fixed/unobserved poses). They are PSD
+        # (sums of J^T J + damping + priors), so their Cholesky factors ride
+        # along as P extra column blocks of V_rel: the ENTIRE S assembly is
+        # then three gram matmuls with fused epilogue subtracts — zero
+        # full-S elementwise passes (a where()-broadcast diagonal add costs
+        # ~0.8 ms/iter in select + layout-copy traffic, profiled).
+        diag_blocks = (
+            act[:, None, None] * (h_pp_d - h_pp_rel)
+            + (1.0 - act)[:, None, None] * eye6
+        )
+        l_diag = _cholesky_unrolled(diag_blocks, 6)  # L L^T = diag_blocks
+        n_rel = j_rl_b.shape[0]
+        k_rng = jnp.arange(n_rel, dtype=jnp.int32)
+        live_rl = tables.relpose.mask
+        v_rel = _dense_from_pairs(
+            jnp.concatenate(
+                [tables.relpose.before_idx, tables.relpose.after_idx, diag_idx]
+            ),
+            jnp.concatenate(
+                [k_rng, k_rng, n_rel + jnp.arange(n_pose, dtype=jnp.int32)]
+            ),
+            jnp.concatenate(
+                [live_rl, live_rl, jnp.ones(n_pose, dtype=bool)]
+            ),
+            jnp.concatenate(
+                [jnp.swapaxes(j_rl_b, 1, 2), jnp.swapaxes(j_rl_a, 1, 2), l_diag],
+                axis=0,
+            ),
+            n_rel + n_pose,
+            6,
+            6,
+        )
+
+        # S = V_rel V_rel^T - (U G)(U G)^T - v_ob v_ob^T.
+        s4 = (_gram(v_rel) - s_sub2 - _gram(v_ob)).reshape(
+            n_pose, 6, n_pose, 6
+        )
     else:
-        # Pair-enumeration path: combine rows sharing a destination with a
-        # sorted segment_sum, scatter unique dests.
+        # Pair-enumeration path (problems too large for a dense U): combine
+        # rows sharing a destination with a sorted segment_sum, scatter
+        # unique dests; diagonal, relpose cross and object cross blocks land
+        # in ONE scatter-add (each .at[].add on the (P,6,P,6) buffer costs a
+        # full-buffer copy).
+        h_pp_masked = (
+            h_pp_d * act[:, None, None] + (1.0 - act)[:, None, None] * eye6
+        )
+        rl_cross = jnp.einsum("fri,frj->fij", j_rl_b, j_rl_a)
+        s4_idx_a = [diag_idx, tables.relpose.before_idx, tables.relpose.after_idx]
+        s4_idx_b = [diag_idx, tables.relpose.after_idx, tables.relpose.before_idx]
+        s4_updates = [h_pp_masked, rl_cross, jnp.swapaxes(rl_cross, -1, -2)]
         wha_pt = jnp.einsum(
             "cik,ckl->cil", w_pt[plan.pt_cross_a], h_ll_inv[plan.pt_pair_point[plan.pt_cross_a]]
         )
@@ -747,32 +836,23 @@ def compute_step(
         s4_idx_a.append(plan.pt_dest_a)
         s4_idx_b.append(plan.pt_dest_b)
         s4_updates.append(dest_pt)
-    wha_ob = jnp.einsum(
-        "cik,ckl->cil", w_ob[plan.ob_cross_a], h_oo_inv[plan.ob_pair_obj[plan.ob_cross_a]]
-    )
-    cross_ob = -jnp.einsum("cil,cjl->cij", wha_ob, w_ob[plan.ob_cross_b])
-    cross_ob = cross_ob * plan.ob_cross_mask[:, None, None].astype(dtype)
-    n_ob_dest = plan.ob_dest_a.shape[0]
-    dest_ob = jax.ops.segment_sum(
-        cross_ob, plan.ob_cross_dest, num_segments=n_ob_dest,
-        indices_are_sorted=True,
-    ) * plan.ob_dest_mask[:, None, None].astype(dtype)
-    s4_idx_a.append(plan.ob_dest_a)
-    s4_idx_b.append(plan.ob_dest_b)
-    s4_updates.append(dest_ob)
-
-    # Scatter the block contributions directly into the (negated) Schur
-    # subtraction buffer — reusing the dead s_sub2 buffer lets XLA do the
-    # scatter in place instead of materializing + copying a fresh zeros
-    # (P,6,P,6) base.
-    if s_sub2 is not None:
-        s4_base = (-s_sub2).reshape(n_pose, 6, n_pose, 6)
-        s_sub2 = None
-    else:
+        wha_ob = jnp.einsum(
+            "cik,ckl->cil", w_ob[plan.ob_cross_a], h_oo_inv[plan.ob_pair_obj[plan.ob_cross_a]]
+        )
+        cross_ob = -jnp.einsum("cil,cjl->cij", wha_ob, w_ob[plan.ob_cross_b])
+        cross_ob = cross_ob * plan.ob_cross_mask[:, None, None].astype(dtype)
+        n_ob_dest = plan.ob_dest_a.shape[0]
+        dest_ob = jax.ops.segment_sum(
+            cross_ob, plan.ob_cross_dest, num_segments=n_ob_dest,
+            indices_are_sorted=True,
+        ) * plan.ob_dest_mask[:, None, None].astype(dtype)
+        s4_idx_a.append(plan.ob_dest_a)
+        s4_idx_b.append(plan.ob_dest_b)
+        s4_updates.append(dest_ob)
         s4_base = jnp.zeros((n_pose, 6, n_pose, 6), dtype=dtype)
-    s4 = s4_base.at[
-        jnp.concatenate(s4_idx_a), :, jnp.concatenate(s4_idx_b), :
-    ].add(jnp.concatenate(s4_updates, axis=0))
+        s4 = s4_base.at[
+            jnp.concatenate(s4_idx_a), :, jnp.concatenate(s4_idx_b), :
+        ].add(jnp.concatenate(s4_updates, axis=0))
 
     # Reduced RHS: b_S = b_p - sum_pairs W Hll^-1 b_l.
     b_s = b_p
@@ -791,7 +871,14 @@ def compute_step(
     # exactly zero — their Jacobian blocks were masked before W assembly —
     # so folding it under the identity-diag masking above is safe.)
     s_dense = s4.reshape(n_pose * 6, n_pose * 6)
-    s_sym = 0.5 * (s_dense + s_dense.T)
+    if dense_schur:
+        # Sum of gram matrices: symmetric by construction (up to per-tile
+        # summation-order roundoff, which neither Cholesky — it reads one
+        # triangle — nor the refinement matvec is sensitive to). Skipping
+        # 0.5 (S + S^T) saves a full-S transpose pass.
+        s_sym = s_dense
+    else:
+        s_sym = 0.5 * (s_dense + s_dense.T)
     chol = jnp.linalg.cholesky(s_sym)
     rhs = b_s.reshape(-1)
     delta_raw = jax.scipy.linalg.cho_solve((chol, True), rhs)
