@@ -94,6 +94,14 @@ class SchurPlan(NamedTuple):
     pt_dest_a: jnp.ndarray  # (Nd,) unique destination (pose_a, pose_b)
     pt_dest_b: jnp.ndarray  # (Nd,)
     pt_dest_mask: jnp.ndarray  # (Nd,)
+    # Slot layout: pair rows regrouped per landmark — row l of the 2-D slot
+    # grid lists the (pose, landmark_l) pairs of one OBSERVED landmark (the
+    # landmark axis is compacted to observed landmarks + padding). Lets the
+    # dense-Schur path build U with an MXU one-hot contraction instead of an
+    # element scatter (column order within U is free under the U U^T gram).
+    pt_slot_gather: jnp.ndarray  # (Lp, Cp) -> point-pair row
+    pt_slot_pose: jnp.ndarray  # (Lp, Cp)
+    pt_slot_mask: jnp.ndarray  # (Lp, Cp)
     # Objects (from bounding-box factors).
     bb_factor_pair: jnp.ndarray  # (B,) factor row -> object-pair row
     ob_pair_pose: jnp.ndarray  # (No,)
@@ -106,13 +114,54 @@ class SchurPlan(NamedTuple):
     ob_dest_a: jnp.ndarray  # (Ndo,)
     ob_dest_b: jnp.ndarray  # (Ndo,)
     ob_dest_mask: jnp.ndarray  # (Ndo,)
+    ob_slot_gather: jnp.ndarray  # (Lo, Co) -> object-pair row
+    ob_slot_pose: jnp.ndarray  # (Lo, Co)
+    ob_slot_mask: jnp.ndarray  # (Lo, Co)
 
 
 def _round_up(n, bucket=64):
     return max(bucket, int(np.ceil(n / bucket)) * bucket)
 
 
-def _build_pairs(block_idx, land_idx, mask, pair_cap=None, cross_cap=None):
+def _slot_layout(pair_block, pair_land, n_pairs, land_cap=None, cmax_cap=None):
+    """Regroup pair rows by landmark into a (land, slot) grid.
+
+    Returns (slot_gather, slot_pose, slot_mask), each (L, C): row l lists the
+    pair-row indices of the l-th OBSERVED landmark (axis compacted + padded to
+    L = land_cap), column count C padded to cmax_cap >= max pairs/landmark.
+    Dead slots carry gather=0 / pose=0 / mask=False; consumers must zero them
+    via the mask (the dense-Schur one-hot does)."""
+    pair_block = np.asarray(pair_block)[:n_pairs]
+    pair_land = np.asarray(pair_land)[:n_pairs]
+    if n_pairs:
+        uniq_land, inv = np.unique(pair_land, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        counts = np.bincount(inv, minlength=len(uniq_land))
+        c_max = int(counts.max())
+        starts = np.zeros(len(uniq_land), dtype=np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        rows = inv[order]
+        slot = np.arange(n_pairs, dtype=np.int64) - starts[rows]
+        n_land = len(uniq_land)
+    else:
+        order = rows = slot = np.zeros(0, dtype=np.int64)
+        c_max = 0
+        n_land = 0
+    land_cap = max(land_cap or 0, _round_up(n_land))
+    cmax_cap = max(cmax_cap or 0, 4, int(np.ceil(c_max / 4)) * 4)
+    gather = np.zeros((land_cap, cmax_cap), dtype=np.int32)
+    pose = np.zeros((land_cap, cmax_cap), dtype=np.int32)
+    mask = np.zeros((land_cap, cmax_cap), dtype=bool)
+    gather[rows, slot] = order.astype(np.int32)
+    pose[rows, slot] = pair_block[order].astype(np.int32)
+    mask[rows, slot] = True
+    return gather, pose, mask
+
+
+def _build_pairs(
+    block_idx, land_idx, mask, pair_cap=None, cross_cap=None,
+    land_cap=None, cmax_cap=None,
+):
     """Unique (pose, landmark) pairs and the per-landmark ordered cross pairs.
 
     Uses the native C++ builder (obvi_slam_tpu/native) when built — identical
@@ -160,7 +209,7 @@ def _build_pairs(block_idx, land_idx, mask, pair_cap=None, cross_cap=None):
             pad_i(dest_a, dest_cap),
             pad_i(dest_b, dest_cap),
             dest_mask,
-        )
+        ) + _slot_layout(pair_block, pair_land, n_pairs, land_cap, cmax_cap)
 
     live = np.nonzero(mask)[0]
     keys = np.stack([block_idx[live], land_idx[live]], axis=1)
@@ -238,6 +287,12 @@ def _build_pairs(block_idx, land_idx, mask, pair_cap=None, cross_cap=None):
         pad_i(dest_uniq[:, 0] if n_dest else [], dest_cap),
         pad_i(dest_uniq[:, 1] if n_dest else [], dest_cap),
         dest_mask,
+    ) + _slot_layout(
+        uniq[:, 0] if n_pairs else np.zeros(0, np.int64),
+        uniq[:, 1] if n_pairs else np.zeros(0, np.int64),
+        n_pairs,
+        land_cap,
+        cmax_cap,
     )
 
 
@@ -304,12 +359,17 @@ def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
         pt_dest_a,
         pt_dest_b,
         pt_dest_mask,
+        pt_slot_gather,
+        pt_slot_pose,
+        pt_slot_mask,
     ) = _build_pairs(
         np.asarray(rp.pose_idx),
         np.asarray(rp.point_idx),
         np.asarray(rp.mask),
         caps.get("pt_pair"),
         caps.get("pt_cross"),
+        caps.get("pt_slot_land"),
+        caps.get("pt_slot_c"),
     )
     bb = tables.bbox
     (
@@ -324,12 +384,17 @@ def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
         ob_dest_a,
         ob_dest_b,
         ob_dest_mask,
+        ob_slot_gather,
+        ob_slot_pose,
+        ob_slot_mask,
     ) = _build_pairs(
         np.asarray(bb.pose_idx),
         np.asarray(bb.obj_idx),
         np.asarray(bb.mask),
         caps.get("ob_pair"),
         caps.get("ob_cross"),
+        caps.get("ob_slot_land"),
+        caps.get("ob_slot_c"),
     )
     return SchurPlan(
         rp_factor_pair=jnp.asarray(rp_factor_pair),
@@ -343,6 +408,9 @@ def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
         pt_dest_a=jnp.asarray(pt_dest_a),
         pt_dest_b=jnp.asarray(pt_dest_b),
         pt_dest_mask=jnp.asarray(pt_dest_mask),
+        pt_slot_gather=jnp.asarray(pt_slot_gather),
+        pt_slot_pose=jnp.asarray(pt_slot_pose),
+        pt_slot_mask=jnp.asarray(pt_slot_mask),
         bb_factor_pair=jnp.asarray(bb_factor_pair),
         ob_pair_pose=jnp.asarray(ob_pair_pose),
         ob_pair_obj=jnp.asarray(ob_pair_obj),
@@ -354,6 +422,9 @@ def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
         ob_dest_a=jnp.asarray(ob_dest_a),
         ob_dest_b=jnp.asarray(ob_dest_b),
         ob_dest_mask=jnp.asarray(ob_dest_mask),
+        ob_slot_gather=jnp.asarray(ob_slot_gather),
+        ob_slot_pose=jnp.asarray(ob_slot_pose),
+        ob_slot_mask=jnp.asarray(ob_slot_mask),
     )
 
 
@@ -718,51 +789,115 @@ def compute_step(
             blocks, mode="drop", unique_indices=True
         )
 
+    def _slot_gram(w_scaled_blocks, slot_gather, slot_pose, slot_mask, bw):
+        """Schur subtraction Σ_l U_l U_l^T entirely on the MXU.
+
+        Uses the plan's per-landmark slot grid: a one-hot contraction over
+        slots places each (6, bw) pair block at its pose row
+        (z[l, p] = W_{p,l} G_l — exact, since every (l, p) output sums exactly
+        one nonzero product and HIGHEST keeps f32 operands unrounded), then
+        one gram over (landmark, bw) yields all -W_a Hxx^-1 W_b^T blocks.
+        Replaces the element scatter that built a dense U — the scatter
+        (sort + ~5-6 ns/element) was the LM step's single biggest op
+        (2.2 ms/iter profiled); the one-hot build + block matmul run at
+        HBM/MXU speed (~0.3 ms)."""
+        L, C = slot_gather.shape
+        w_comp = w_scaled_blocks.reshape(-1, 6 * bw)[
+            slot_gather.reshape(-1)
+        ].reshape(L, C, 6 * bw)
+        onehot = (
+            (slot_pose[:, :, None] == jnp.arange(n_pose, dtype=slot_pose.dtype))
+            & slot_mask[:, :, None]
+        ).astype(dtype)
+        z = jax.lax.dot_general(
+            onehot,
+            w_comp,
+            (((1,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype,
+        ).reshape(L, n_pose, 6, bw)
+        s = jax.lax.dot_general(
+            z,
+            z,
+            (((0, 3), (0, 3)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype,
+        )  # (P, 6, P, 6)
+        return s.reshape(n_pose * 6, n_pose * 6)
+
+    # One-hot size gate: for extreme landmark degree (C ~ P) the slot grid's
+    # one-hot exceeds the dense-U buffer it replaces — fall back to scatter.
+    _slot_budget = 48 * 1024 * 1024  # elements (192 MB f32)
+    pt_slot_ok = (
+        plan.pt_slot_gather.shape[0] * plan.pt_slot_gather.shape[1] * n_pose
+        <= _slot_budget
+    )
+    ob_slot_ok = (
+        plan.ob_slot_gather.shape[0] * plan.ob_slot_gather.shape[1] * n_pose
+        <= _slot_budget
+    )
+
     s_sub2 = None
     if dense_schur:
-        # Dense-U path. Three TPU-layout considerations shape this code:
-        # (1) U is built directly as a 2-D (6P, 3M) matrix — a 4-D
-        #     (P, 6, M, 3) block layout puts 3 in the lane dimension and XLA
-        #     pads it 42x, turning the scatter/copy into the step's biggest
-        #     HBM cost.
-        # (2) The per-landmark Hll^-1 is folded into U via its Cholesky
-        #     factor G (Hll^-1 = G G^T), so the Schur subtraction is the
-        #     single symmetric MXU matmul (U G)(U G)^T — no second U-sized
-        #     buffer for U Hll^-1.
-        # precision=HIGHEST keeps the contraction at full f32 operand
-        # precision (default TPU matmul rounds f32 inputs to bf16); the
-        # contraction dim here is 3*n_point, the largest accumulation in
-        # the whole solver.
+        # Dense-U path. TPU-layout considerations shaping this code:
+        # (1) The per-landmark Hll^-1 is folded into U via its Cholesky
+        #     factor G (Hll^-1 = G G^T), so the Schur subtraction is a
+        #     symmetric MXU gram (U G)(U G)^T — no second U-sized buffer.
+        # (2) precision=HIGHEST keeps contractions at full f32 operand
+        #     precision (default TPU matmul rounds f32 inputs to bf16); the
+        #     contraction dim here is 3*n_landmarks, the largest accumulation
+        #     in the whole solver.
+        # (3) U itself is never scattered: _slot_gram builds the per-landmark
+        #     blocks with a one-hot matmul (column order under a gram is
+        #     free, so the landmark axis is compacted to observed landmarks).
         w_scaled = jnp.einsum(
             "pik,pkl->pil", w_pt, g_ll[plan.pt_pair_point]
         )  # (Np, 6, 3)
-        u2 = _dense_from_pairs(
-            plan.pt_pair_pose,
-            plan.pt_pair_point,
-            plan.pt_pair_mask,
-            w_scaled,
-            n_point,
-            6,
-            3,
-        )
-        s_sub2 = _gram(u2)  # (6P, 6P)
+        if pt_slot_ok:
+            s_sub2 = _slot_gram(
+                w_scaled,
+                plan.pt_slot_gather,
+                plan.pt_slot_pose,
+                plan.pt_slot_mask,
+                3,
+            )
+        else:
+            u2 = _dense_from_pairs(
+                plan.pt_pair_pose,
+                plan.pt_pair_point,
+                plan.pt_pair_mask,
+                w_scaled,
+                n_point,
+                6,
+                3,
+            )
+            s_sub2 = _gram(u2)  # (6P, 6P)
 
-        # Object (bbox) Schur subtraction folded into a second, tiny gram
-        # matmul the same way: v_ob = W_ob G_oo on the (pose, object) grid
-        # reproduces every -W_a Hoo^-1 W_b^T block (diagonal included) with
-        # no 4-D scatter into S.
+        # Object (bbox) Schur subtraction the same way: v_ob = W_ob G_oo on
+        # the (pose, object) grid reproduces every -W_a Hoo^-1 W_b^T block
+        # (diagonal included).
         w_ob_scaled = jnp.einsum(
             "pik,pkl->pil", w_ob, g_oo[plan.ob_pair_obj]
         )  # (No, 6, 7)
-        v_ob = _dense_from_pairs(
-            plan.ob_pair_pose,
-            plan.ob_pair_obj,
-            plan.ob_pair_mask,
-            w_ob_scaled,
-            n_obj,
-            6,
-            7,
-        )
+        if ob_slot_ok:
+            s_sub_ob = _slot_gram(
+                w_ob_scaled,
+                plan.ob_slot_gather,
+                plan.ob_slot_pose,
+                plan.ob_slot_mask,
+                7,
+            )
+        else:
+            v_ob = _dense_from_pairs(
+                plan.ob_pair_pose,
+                plan.ob_pair_obj,
+                plan.ob_pair_mask,
+                w_ob_scaled,
+                n_obj,
+                6,
+                7,
+            )
+            s_sub_ob = _gram(v_ob)
 
         # Relpose factor contribution (diagonal + cross, + sign) as a third
         # gram: V_rel[(p,i), (k,r)] = J_{p,k}[r,i] for p in {before_k,
@@ -806,8 +941,8 @@ def compute_step(
             6,
         )
 
-        # S = V_rel V_rel^T - (U G)(U G)^T - v_ob v_ob^T.
-        s4 = (_gram(v_rel) - s_sub2 - _gram(v_ob)).reshape(
+        # S = V_rel V_rel^T - (U G)(U G)^T - (W_ob G_oo)(W_ob G_oo)^T.
+        s4 = (_gram(v_rel) - s_sub2 - s_sub_ob).reshape(
             n_pose, 6, n_pose, 6
         )
     else:
