@@ -102,6 +102,7 @@ class SchurPlan(NamedTuple):
     pt_slot_gather: jnp.ndarray  # (Lp, Cp) -> point-pair row
     pt_slot_pose: jnp.ndarray  # (Lp, Cp)
     pt_slot_mask: jnp.ndarray  # (Lp, Cp)
+    pt_slot_land: jnp.ndarray  # (Lp,) point index per slot row
     # Objects (from bounding-box factors).
     bb_factor_pair: jnp.ndarray  # (B,) factor row -> object-pair row
     ob_pair_pose: jnp.ndarray  # (No,)
@@ -117,6 +118,7 @@ class SchurPlan(NamedTuple):
     ob_slot_gather: jnp.ndarray  # (Lo, Co) -> object-pair row
     ob_slot_pose: jnp.ndarray  # (Lo, Co)
     ob_slot_mask: jnp.ndarray  # (Lo, Co)
+    ob_slot_land: jnp.ndarray  # (Lo,) object index per slot row
 
 
 def _round_up(n, bucket=64):
@@ -126,9 +128,10 @@ def _round_up(n, bucket=64):
 def _slot_layout(pair_block, pair_land, n_pairs, land_cap=None, cmax_cap=None):
     """Regroup pair rows by landmark into a (land, slot) grid.
 
-    Returns (slot_gather, slot_pose, slot_mask), each (L, C): row l lists the
-    pair-row indices of the l-th OBSERVED landmark (axis compacted + padded to
-    L = land_cap), column count C padded to cmax_cap >= max pairs/landmark.
+    Returns (slot_gather, slot_pose, slot_mask, slot_land): the first three
+    (L, C) — row l lists the pair-row indices of the l-th OBSERVED landmark
+    (axis compacted + padded to L = land_cap), column count C padded to
+    cmax_cap >= max pairs/landmark — plus the (L,) landmark index of each row.
     Dead slots carry gather=0 / pose=0 / mask=False; consumers must zero them
     via the mask (the dense-Schur one-hot does)."""
     pair_block = np.asarray(pair_block)[:n_pairs]
@@ -152,10 +155,12 @@ def _slot_layout(pair_block, pair_land, n_pairs, land_cap=None, cmax_cap=None):
     gather = np.zeros((land_cap, cmax_cap), dtype=np.int32)
     pose = np.zeros((land_cap, cmax_cap), dtype=np.int32)
     mask = np.zeros((land_cap, cmax_cap), dtype=bool)
+    land = np.zeros(land_cap, dtype=np.int32)
     gather[rows, slot] = order.astype(np.int32)
     pose[rows, slot] = pair_block[order].astype(np.int32)
     mask[rows, slot] = True
-    return gather, pose, mask
+    land[:n_land] = uniq_land.astype(np.int32) if n_land else land[:0]
+    return gather, pose, mask, land
 
 
 def _build_pairs(
@@ -362,6 +367,7 @@ def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
         pt_slot_gather,
         pt_slot_pose,
         pt_slot_mask,
+        pt_slot_land,
     ) = _build_pairs(
         np.asarray(rp.pose_idx),
         np.asarray(rp.point_idx),
@@ -387,6 +393,7 @@ def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
         ob_slot_gather,
         ob_slot_pose,
         ob_slot_mask,
+        ob_slot_land,
     ) = _build_pairs(
         np.asarray(bb.pose_idx),
         np.asarray(bb.obj_idx),
@@ -411,6 +418,7 @@ def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
         pt_slot_gather=jnp.asarray(pt_slot_gather),
         pt_slot_pose=jnp.asarray(pt_slot_pose),
         pt_slot_mask=jnp.asarray(pt_slot_mask),
+        pt_slot_land=jnp.asarray(pt_slot_land),
         bb_factor_pair=jnp.asarray(bb_factor_pair),
         ob_pair_pose=jnp.asarray(ob_pair_pose),
         ob_pair_obj=jnp.asarray(ob_pair_obj),
@@ -425,6 +433,7 @@ def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
         ob_slot_gather=jnp.asarray(ob_slot_gather),
         ob_slot_pose=jnp.asarray(ob_slot_pose),
         ob_slot_mask=jnp.asarray(ob_slot_mask),
+        ob_slot_land=jnp.asarray(ob_slot_land),
     )
 
 
@@ -823,7 +832,7 @@ def compute_step(
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=dtype,
         )  # (P, 6, P, 6)
-        return s.reshape(n_pose * 6, n_pose * 6)
+        return s.reshape(n_pose * 6, n_pose * 6), z
 
     # One-hot size gate: for extreme landmark degree (C ~ P) the slot grid's
     # one-hot exceeds the dense-U buffer it replaces — fall back to scatter.
@@ -838,6 +847,7 @@ def compute_step(
     )
 
     s_sub2 = None
+    z_pt = z_ob = None
     if dense_schur:
         # Dense-U path. TPU-layout considerations shaping this code:
         # (1) The per-landmark Hll^-1 is folded into U via its Cholesky
@@ -854,7 +864,7 @@ def compute_step(
             "pik,pkl->pil", w_pt, g_ll[plan.pt_pair_point]
         )  # (Np, 6, 3)
         if pt_slot_ok:
-            s_sub2 = _slot_gram(
+            s_sub2, z_pt = _slot_gram(
                 w_scaled,
                 plan.pt_slot_gather,
                 plan.pt_slot_pose,
@@ -880,7 +890,7 @@ def compute_step(
             "pik,pkl->pil", w_ob, g_oo[plan.ob_pair_obj]
         )  # (No, 6, 7)
         if ob_slot_ok:
-            s_sub_ob = _slot_gram(
+            s_sub_ob, z_ob = _slot_gram(
                 w_ob_scaled,
                 plan.ob_slot_gather,
                 plan.ob_slot_pose,
@@ -989,16 +999,47 @@ def compute_step(
             jnp.concatenate(s4_idx_a), :, jnp.concatenate(s4_idx_b), :
         ].add(jnp.concatenate(s4_updates, axis=0))
 
-    # Reduced RHS: b_S = b_p - sum_pairs W Hll^-1 b_l.
+    # Reduced RHS: b_S = b_p - sum_pairs W Hxx^-1 b_x. When the slot tensor
+    # z = W G is live, W Hxx^-1 b = z (G^T b) is one MXU contraction over
+    # (landmark, block) — replacing a per-pair einsum + 24k-row scatter-add.
     b_s = b_p
-    wb_pt = jnp.einsum(
-        "pik,pkl,pl->pi", w_pt, h_ll_inv[plan.pt_pair_point], b_l[plan.pt_pair_point]
-    )
-    b_s = b_s.at[plan.pt_pair_pose].add(-wb_pt)
-    wb_ob = jnp.einsum(
-        "pik,pkl,pl->pi", w_ob, h_oo_inv[plan.ob_pair_obj], b_o[plan.ob_pair_obj]
-    )
-    b_s = b_s.at[plan.ob_pair_pose].add(-wb_ob)
+    g_ll_slot = g_oo_slot = None
+    if z_pt is not None:
+        g_ll_slot = g_ll[plan.pt_slot_land]
+        y_pt = jnp.einsum("lab,la->lb", g_ll_slot, b_l[plan.pt_slot_land])
+        b_s = b_s - jax.lax.dot_general(
+            z_pt,
+            y_pt,
+            (((0, 3), (0, 1)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype,
+        )
+    else:
+        wb_pt = jnp.einsum(
+            "pik,pkl,pl->pi",
+            w_pt,
+            h_ll_inv[plan.pt_pair_point],
+            b_l[plan.pt_pair_point],
+        )
+        b_s = b_s.at[plan.pt_pair_pose].add(-wb_pt)
+    if z_ob is not None:
+        g_oo_slot = g_oo[plan.ob_slot_land]
+        y_ob = jnp.einsum("lab,la->lb", g_oo_slot, b_o[plan.ob_slot_land])
+        b_s = b_s - jax.lax.dot_general(
+            z_ob,
+            y_ob,
+            (((0, 3), (0, 1)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype,
+        )
+    else:
+        wb_ob = jnp.einsum(
+            "pik,pkl,pl->pi",
+            w_ob,
+            h_oo_inv[plan.ob_pair_obj],
+            b_o[plan.ob_pair_obj],
+        )
+        b_s = b_s.at[plan.ob_pair_pose].add(-wb_ob)
 
     b_s = b_s * act[:, None]
 
@@ -1036,15 +1077,54 @@ def compute_step(
     delta_p = delta_flat.reshape(n_pose, 6)
 
     # ---- back-substitution ----------------------------------------------
-    wt_dp_pt = jnp.einsum("pik,pi->pk", w_pt, delta_p[plan.pt_pair_pose])
-    rhs_l = b_l - jax.ops.segment_sum(
-        wt_dp_pt, plan.pt_pair_point, num_segments=n_point
-    )
-    delta_l = jnp.einsum("mkl,ml->mk", h_ll_inv, rhs_l)
+    # delta_x = Hxx^-1 (b_x - W^T delta_p). With z live the coupling term is
+    # G (z^T delta_p) per compact landmark row — two MXU contractions and one
+    # small unique-row scatter instead of a pair gather + 24k-row segment_sum.
+    # The Hxx^-1 b_x base term runs over ALL landmarks, which also covers
+    # prior-only landmarks absent from the slot grid.
+    if z_pt is not None:
+        delta_l = jnp.einsum("mkl,ml->mk", h_ll_inv, b_l)
+        q_pt = jax.lax.dot_general(
+            z_pt,
+            delta_p,
+            (((1, 2), (0, 1)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype,
+        )  # (L, 3) = G^T W^T delta_p
+        corr = jnp.einsum("lab,lb->la", g_ll_slot, q_pt)
+        live_row = jnp.any(plan.pt_slot_mask, axis=1)
+        safe_land = jnp.where(live_row, plan.pt_slot_land, n_point)
+        delta_l = delta_l.at[safe_land].add(
+            -corr, mode="drop", unique_indices=True
+        )
+    else:
+        wt_dp_pt = jnp.einsum("pik,pi->pk", w_pt, delta_p[plan.pt_pair_pose])
+        rhs_l = b_l - jax.ops.segment_sum(
+            wt_dp_pt, plan.pt_pair_point, num_segments=n_point
+        )
+        delta_l = jnp.einsum("mkl,ml->mk", h_ll_inv, rhs_l)
     delta_l = delta_l * (~ll_singular[:, None]) * point_free[:, None]
-    wt_dp_ob = jnp.einsum("pik,pi->pk", w_ob, delta_p[plan.ob_pair_pose])
-    rhs_o = b_o - jax.ops.segment_sum(wt_dp_ob, plan.ob_pair_obj, num_segments=n_obj)
-    delta_o = jnp.einsum("mkl,ml->mk", h_oo_inv, rhs_o)
+    if z_ob is not None:
+        delta_o = jnp.einsum("mkl,ml->mk", h_oo_inv, b_o)
+        q_ob = jax.lax.dot_general(
+            z_ob,
+            delta_p,
+            (((1, 2), (0, 1)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype,
+        )  # (Lo, 7)
+        corr_o = jnp.einsum("lab,lb->la", g_oo_slot, q_ob)
+        live_row_o = jnp.any(plan.ob_slot_mask, axis=1)
+        safe_obj = jnp.where(live_row_o, plan.ob_slot_land, n_obj)
+        delta_o = delta_o.at[safe_obj].add(
+            -corr_o, mode="drop", unique_indices=True
+        )
+    else:
+        wt_dp_ob = jnp.einsum("pik,pi->pk", w_ob, delta_p[plan.ob_pair_pose])
+        rhs_o = b_o - jax.ops.segment_sum(
+            wt_dp_ob, plan.ob_pair_obj, num_segments=n_obj
+        )
+        delta_o = jnp.einsum("mkl,ml->mk", h_oo_inv, rhs_o)
     delta_o = delta_o * (~oo_singular[:, None]) * obj_free[:, None]
     delta_p = delta_p * act[:, None]
 
