@@ -25,6 +25,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from obvi_slam_tpu.factors.residuals import highest_matmul
+
 from obvi_slam_tpu import geometry as geo
 from obvi_slam_tpu.types import BAState, CameraBundle
 
@@ -42,6 +44,7 @@ def pose_rotation_tables(poses):
     return rt, jr
 
 
+@highest_matmul
 def reproj_residuals_and_jac_fast(state: BAState, cams: CameraBundle, f):
     """Drop-in replacement for factors.reproj_residuals_and_jac."""
     dtype = state.poses.dtype
@@ -55,8 +58,8 @@ def reproj_residuals_and_jac_fast(state: BAState, cams: CameraBundle, f):
     c_t = cams.cam_from_robot_t[f.cam_idx]  # (F,3)
 
     diff = x - pose_t
-    p_r = jnp.einsum("fij,fj->fi", rt_f, diff)
-    p_c = jnp.einsum("fij,fj->fi", c_r, p_r) + c_t
+    p_r = geo.bmv(rt_f, diff)
+    p_c = geo.bmv(c_r, p_r) + c_t
     z = p_c[:, 2]
     z_safe = jnp.where(jnp.abs(z) < 1e-300, 1e-300, z)
     inv_z = 1.0 / z_safe
@@ -75,13 +78,13 @@ def reproj_residuals_and_jac_fast(state: BAState, cams: CameraBundle, f):
     # scaled rows by multiplier
     dproj = dproj * f.multiplier[:, :, None]
 
-    cr_rt = jnp.einsum("fij,fjk->fik", c_r, rt_f)  # (F,3,3)
-    j_point = jnp.einsum("frk,fkj->frj", dproj, cr_rt)  # (F,2,3)
+    cr_rt = geo.bmm(c_r, rt_f)  # (F,3,3)
+    j_point = geo.bmm(dproj, cr_rt)  # (F,2,3)
     j_t = -j_point  # translation block
     # d(R^T diff)/dw = [p_r]_x Jr  =>  dp_c/dw = C_r [p_r]_x Jr.
     skew_pr = geo.skew(p_r)  # (F,3,3)
-    dpc_dw = jnp.einsum("fab,fbc,fci->fai", c_r, skew_pr, jr_f)
-    j_w = jnp.einsum("frk,fki->fri", dproj, dpc_dw)  # (F,2,3)
+    dpc_dw = geo.bmm(geo.bmm(c_r, skew_pr), jr_f)
+    j_w = geo.bmm(dproj, dpc_dw)  # (F,2,3)
     j_pose = jnp.concatenate([j_t, j_w], axis=-1)  # (F,2,6)
 
     m = f.mask

@@ -19,6 +19,8 @@ capacity-padded tables contribute nothing to cost or normal equations.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -28,6 +30,23 @@ from obvi_slam_tpu.types import BAState, CameraBundle, FactorTables
 # ---------------------------------------------------------------------------
 # Robust loss (Ceres HuberLoss semantics; s = squared norm of the block).
 # ---------------------------------------------------------------------------
+
+
+def highest_matmul(fn):
+    """Pin every matmul/einsum traced inside ``fn`` to full f32 operand
+    precision. TPU's default matmul rounds f32 operands to bf16 (~2^-9
+    relative) — harmless for redundant passes, catastrophic for Jacobian /
+    Hessian values: the LM normal equations amplify the rounding by the
+    damped system's condition number (observed O(1) step error on TPU vs an
+    exact-f32 CPU step of the same problem). Explicit per-op precision
+    arguments (the Schur grams) still override this scoped default."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def huber_rho(s, delta):
@@ -63,6 +82,7 @@ def _reproj_single(pose, point, cam_r, cam_t, rect_obs, multiplier):
     return multiplier * (proj - rect_obs)
 
 
+@highest_matmul
 def reproj_residuals(state: BAState, cams: CameraBundle, f):
     pose = state.poses[f.pose_idx]
     point = state.points[f.point_idx]
@@ -72,6 +92,7 @@ def reproj_residuals(state: BAState, cams: CameraBundle, f):
     return jnp.where(f.mask[:, None], r, 0.0)
 
 
+@highest_matmul
 def reproj_residuals_and_jac(state: BAState, cams: CameraBundle, f):
     """Returns (r (F,2), J_pose (F,2,6), J_point (F,2,3)), mask-zeroed."""
 
@@ -101,12 +122,13 @@ def reproj_residuals_and_jac(state: BAState, cams: CameraBundle, f):
 def _bbox_single(ellipsoid, pose, cam_r, cam_t, rect_corners, sqrt_inf, invalid_error):
     corners, valid = geo.ellipsoid_corners_rectified(ellipsoid, pose, cam_r, cam_t)
     deviation = corners - rect_corners
-    whitened = jnp.einsum("ij,j->i", sqrt_inf, deviation)
+    whitened = geo.bmv(sqrt_inf, deviation)
     # Invalid projection saturates to a constant -> zero Jacobian, exactly like
     # the reference's early-return branch (bounding_box_factor.h:81-96).
     return jnp.where(valid, whitened, invalid_error)
 
 
+@highest_matmul
 def bbox_residuals(state: BAState, cams: CameraBundle, f, invalid_error=1e6):
     single = jax.vmap(_bbox_single, in_axes=(0, 0, 0, 0, 0, 0, None))
     r = single(
@@ -121,6 +143,7 @@ def bbox_residuals(state: BAState, cams: CameraBundle, f, invalid_error=1e6):
     return jnp.where(f.mask[:, None], r, 0.0)
 
 
+@highest_matmul
 def bbox_residuals_and_jac(state: BAState, cams: CameraBundle, f, invalid_error=1e6):
     """Returns (r (B,4), J_obj (B,4,7), J_pose (B,4,6)), mask-zeroed.
     Single traversal: jacfwd with has_aux returns residuals alongside."""
@@ -148,12 +171,14 @@ def bbox_residuals_and_jac(state: BAState, cams: CameraBundle, f, invalid_error=
 # ---------------------------------------------------------------------------
 
 
+@highest_matmul
 def shape_residuals(state: BAState, f):
     deviation = state.objects[f.obj_idx][:, 4:7] - f.mean_dim
-    r = jnp.einsum("bij,bj->bi", f.sqrt_inf, deviation)
+    r = geo.bmv(f.sqrt_inf, deviation)
     return jnp.where(f.mask[:, None], r, 0.0)
 
 
+@highest_matmul
 def shape_residuals_and_jac(state: BAState, f):
     """Returns (r (S,3), J_obj (S,3,7)). Analytic: d r / d dims = sqrt_inf."""
     r = shape_residuals(state, f)
@@ -172,15 +197,16 @@ def _relpose_single(pose_before, pose_after, meas_t, meas_r, sqrt_inf):
     rb, tb = geo.pose_to_rt(pose_before)
     ra, ta = geo.pose_to_rt(pose_after)
     rbi = jnp.swapaxes(rb, -1, -2)
-    rel_r = rbi @ ra
-    rel_t = jnp.einsum("ij,j->i", rbi, ta - tb)
+    rel_r = geo.bmm(rbi, ra)
+    rel_t = geo.bmv(rbi, ta - tb)
     unscaled_t = rel_t - meas_t
-    rot_err = rel_r @ jnp.swapaxes(meas_r, -1, -2)
+    rot_err = geo.bmm(rel_r, jnp.swapaxes(meas_r, -1, -2))
     unscaled_w = geo.log_so3(rot_err)
     unscaled = jnp.concatenate([unscaled_t, unscaled_w], axis=-1)
-    return jnp.einsum("ij,j->i", sqrt_inf, unscaled)
+    return geo.bmv(sqrt_inf, unscaled)
 
 
+@highest_matmul
 def relpose_residuals(state: BAState, f):
     single = jax.vmap(_relpose_single)
     r = single(
@@ -189,6 +215,7 @@ def relpose_residuals(state: BAState, f):
     return jnp.where(f.mask[:, None], r, 0.0)
 
 
+@highest_matmul
 def relpose_residuals_and_jac(state: BAState, f):
     """Returns (r (R,6), J_before (R,6,6), J_after (R,6,6)).
     Single traversal via jacfwd with has_aux."""
@@ -214,12 +241,14 @@ def relpose_residuals_and_jac(state: BAState, f):
 # ---------------------------------------------------------------------------
 
 
+@highest_matmul
 def ltm_residuals(state: BAState, f):
     deviation = state.objects[f.obj_idx] - f.mean
-    r = jnp.einsum("bij,bj->bi", f.sqrt_inf, deviation)
+    r = geo.bmv(f.sqrt_inf, deviation)
     return jnp.where(f.mask[:, None], r, 0.0)
 
 
+@highest_matmul
 def ltm_residuals_and_jac(state: BAState, f):
     """Analytic: J = sqrt_inf (7x7)."""
     r = ltm_residuals(state, f)
@@ -253,6 +282,7 @@ def param_prior_residuals(state: BAState, f):
 # ---------------------------------------------------------------------------
 
 
+@highest_matmul
 def total_cost(
     state: BAState,
     cams: CameraBundle,
@@ -310,6 +340,7 @@ def total_cost(
     return cost
 
 
+@highest_matmul
 def all_residuals(state, cams, tables, invalid_error=1e6):
     """Dict of per-family whitened residual arrays (pre-Huber)."""
     return {

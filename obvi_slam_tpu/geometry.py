@@ -64,7 +64,7 @@ def exp_so3(w):
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     s = skew(w)
-    s2 = s @ s
+    s2 = bmm(s, s)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), s.shape)
     return eye + a[..., None, None] * s + b[..., None, None] * s2
 
@@ -82,7 +82,7 @@ def right_jacobian_so3(w):
     )
     s = skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), s.shape)
-    return eye - a[..., None, None] * s + b[..., None, None] * (s @ s)
+    return eye - a[..., None, None] * s + b[..., None, None] * bmm(s, s)
 
 
 def log_so3(r):
@@ -170,6 +170,22 @@ def pose_from_rt(r, t):
     return jnp.concatenate([t, log_so3(r)], axis=-1)
 
 
+
+def bmv(m, v):
+    """Batched matrix @ vector as VPU broadcast-multiply-reduce.
+
+    On TPU, tiny-contraction einsums/dots (k = 2..7) lower to batched MXU
+    matmuls — bf16-rounded at DEFAULT precision and 6x-replayed under
+    Precision.HIGHEST. Spelling them elementwise keeps them exact f32 AND on
+    the VPU, which is both faster and precision-safe for Jacobian math."""
+    return (m * v[..., None, :]).sum(-1)
+
+
+def bmm(a, b):
+    """Batched (…, i, k) @ (…, k, j) as VPU broadcast-multiply-reduce."""
+    return (a[..., :, :, None] * b[..., None, :, :]).sum(-2)
+
+
 def pose_inverse_rt(pose):
     """6-vec pose -> (R, t) of the INVERSE transform (T^-1 = [R^T | -R^T t]).
 
@@ -177,18 +193,18 @@ def pose_inverse_rt(pose):
     """
     r, t = pose_to_rt(pose)
     r_inv = jnp.swapaxes(r, -1, -2)
-    t_inv = -jnp.einsum("...ij,...j->...i", r_inv, t)
+    t_inv = -bmv(r_inv, t)
     return r_inv, t_inv
 
 
 def transform_point(r, t, p):
     """Apply rigid transform (R, t) to points p; batched."""
-    return jnp.einsum("...ij,...j->...i", r, p) + t
+    return bmv(r, p) + t
 
 
 def compose_rt(r1, t1, r2, t2):
     """(R1,t1) ∘ (R2,t2): apply 2 first, then 1."""
-    return jnp.einsum("...ij,...jk->...ik", r1, r2), transform_point(r1, t1, t2)
+    return bmm(r1, r2), transform_point(r1, t1, t2)
 
 
 def pose_compose(pose1, pose2):
@@ -282,7 +298,7 @@ def ellipsoid_corners_rectified(ellipsoid, pose, cam_from_robot_r, cam_from_robo
     # Compact 3x4 transform [R | t].
     e_mat = jnp.concatenate([r_ce, t_ce[..., :, None]], axis=-1)
     d = ellipsoid_dual_diag(ellipsoid)
-    q = jnp.einsum("...ik,...k,...jk->...ij", e_mat, d, e_mat)
+    q = bmm(e_mat * d[..., None, :], jnp.swapaxes(e_mat, -1, -2))
 
     q11, q13 = q[..., 0, 0], q[..., 0, 2]
     q22, q23 = q[..., 1, 1], q[..., 1, 2]
@@ -330,10 +346,10 @@ def essential_matrix(pose1, pose2, cam1_r, cam1_t, cam2_r, cam2_t):
     r2, t2 = pose_to_rt(pose2)
     # cam1^-1:
     c1ri = jnp.swapaxes(cam1_r, -1, -2)
-    c1ti = -jnp.einsum("...ij,...j->...i", c1ri, cam1_t)
+    c1ti = -bmv(c1ri, cam1_t)
     r1i = jnp.swapaxes(r1, -1, -2)
-    t1i = -jnp.einsum("...ij,...j->...i", r1i, t1)
+    t1i = -bmv(r1i, t1)
     ra, ta = compose_rt(c1ri, c1ti, r1i, t1i)
     rb, tb = compose_rt(ra, ta, r2, t2)
     rc, tc = compose_rt(rb, tb, cam2_r, cam2_t)
-    return skew(tc) @ rc
+    return bmm(skew(tc), rc)

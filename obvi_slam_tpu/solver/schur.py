@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from obvi_slam_tpu import factors as fac
+from obvi_slam_tpu import geometry as geo
 from obvi_slam_tpu.types import BAState, CameraBundle, FactorTables, FreeMasks
 
 
@@ -122,7 +123,17 @@ class SchurPlan(NamedTuple):
 
 
 def _round_up(n, bucket=64):
-    return max(bucket, int(np.ceil(n / bucket)) * bucket)
+    """Next capacity from the {2^k, 1.5*2^k} geometric grid (>= bucket).
+
+    Plan capacities must bucket coarsely like the factor-table capacities:
+    with linear 64-step rounding nearly every sliding window produced a fresh
+    jit signature, recompiling the whole fused solver per frame. The 1.5*2^k
+    midpoints bound padding waste at 33% (plain powers of two waste up to 2x
+    on the pair tables, which carry most of the per-iteration work)."""
+    n = max(int(n), bucket)
+    p = 1 << (n - 1).bit_length()  # next power of two
+    mid = p // 2 + p // 4  # 1.5 * previous power of two
+    return mid if n <= mid else p
 
 
 def _slot_layout(pair_block, pair_land, n_pairs, land_cap=None, cmax_cap=None):
@@ -151,7 +162,7 @@ def _slot_layout(pair_block, pair_land, n_pairs, land_cap=None, cmax_cap=None):
         c_max = 0
         n_land = 0
     land_cap = max(land_cap or 0, _round_up(n_land))
-    cmax_cap = max(cmax_cap or 0, 4, int(np.ceil(c_max / 4)) * 4)
+    cmax_cap = max(cmax_cap or 0, _round_up(c_max, bucket=4))
     gather = np.zeros((land_cap, cmax_cap), dtype=np.int32)
     pose = np.zeros((land_cap, cmax_cap), dtype=np.int32)
     mask = np.zeros((land_cap, cmax_cap), dtype=bool)
@@ -445,6 +456,30 @@ def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
 _MIN_DIAG = 1e-6
 _MAX_DIAG = 1e32
 
+# Precision of the two large S-assembly gram matmuls (contraction dim
+# 3*landmarks — the largest accumulation in the solver). HIGHEST = 6-pass
+# f32-exact operands; HIGH = 3-pass (~2^-18 relative operand error), ~2x
+# faster and still well below the f32 residual/Jacobian evaluation noise
+# floor that bounds overall f32-vs-f64 step accuracy (tests/test_f32_precision
+# validates the end-to-end bound under this setting).
+_GRAM_PRECISION = jax.lax.Precision.HIGHEST
+# Small block einsums (W G, G^T b, per-factor outer products) must never be
+# rounded to bf16 — they carry solver values, not redundant passes.
+_P_HI = jax.lax.Precision.HIGHEST
+
+
+
+def _outer_rr(a, b):
+    """(F, r, i), (F, r, j) -> (F, i, j) = sum_r a b, as VPU elementwise math
+    (see geometry.bmv: tiny-contraction einsums otherwise land on the MXU,
+    bf16-rounded or 6x-replayed)."""
+    return (a[:, :, :, None] * b[:, :, None, :]).sum(1)
+
+
+def _jtr(j, r):
+    """(F, r, i), (F, r) -> (F, i) = J^T r per factor, VPU elementwise."""
+    return (j * r[:, :, None]).sum(1)
+
 
 def _cholesky_unrolled(a, n):
     """Batched Cholesky of SPD (B, n, n) blocks as fully unrolled component
@@ -499,7 +534,7 @@ def _spd_inverse_and_factor(a, n):
     l = _cholesky_unrolled(a, n)
     l_inv = _tril_inverse_unrolled(l, n)
     g = jnp.swapaxes(l_inv, -1, -2)
-    a_inv = jnp.einsum("bik,bjk->bij", g, g)
+    a_inv = (g[:, :, None, :] * g[:, None, :, :]).sum(-1)
     return a_inv, g
 
 
@@ -516,6 +551,7 @@ def _weighted(r, j_list, w):
     return rw, jw
 
 
+@fac.highest_matmul
 def compute_step(
     state: BAState,
     cams: CameraBundle,
@@ -608,8 +644,8 @@ def compute_step(
     # to amortize the gather/scatter launch over a lane-friendly layout.
     ll_pack = jnp.concatenate(
         [
-            jnp.einsum("fri,frj->fij", j_rp_point, j_rp_point).reshape(-1, 9),
-            -jnp.einsum("fri,fr->fi", j_rp_point, r_rp),
+            _outer_rr(j_rp_point, j_rp_point).reshape(-1, 9),
+            -_jtr(j_rp_point, r_rp),
         ],
         axis=1,
     )
@@ -622,8 +658,8 @@ def compute_step(
         """[J^T J (d*d) | -J^T r (d)] flattened per factor — keeps every
         segment_sum 2-D with a lane-sized trailing dim (a (F, d, d) layout
         puts d in the lane dimension and pads it up to 128)."""
-        h = jnp.einsum("fri,frj->fij", j, j).reshape(j.shape[0], d * d)
-        b = -jnp.einsum("fri,fr->fi", j, r)
+        h = _outer_rr(j, j).reshape(j.shape[0], d * d)
+        b = -_jtr(j, r)
         return jnp.concatenate([h, b], axis=1)
 
     # H_oo (K,7,7), b_o from bbox + shape + ltm (+ object param priors below).
@@ -743,14 +779,14 @@ def compute_step(
     # ---- W pair blocks (2-D packed segment sums, see _hb_pack note) ------
     n_pt_pair = plan.pt_pair_pose.shape[0]
     w_pt = jax.ops.segment_sum(
-        jnp.einsum("fri,frj->fij", j_rp_pose, j_rp_point).reshape(-1, 18),
+        _outer_rr(j_rp_pose, j_rp_point).reshape(-1, 18),
         plan.rp_factor_pair,
         num_segments=n_pt_pair,
     ).reshape(n_pt_pair, 6, 3)
     w_pt = w_pt * plan.pt_pair_mask[:, None, None].astype(dtype)
     n_ob_pair = plan.ob_pair_pose.shape[0]
     w_ob = jax.ops.segment_sum(
-        jnp.einsum("fri,frj->fij", j_bb_pose, j_bb_obj).reshape(-1, 42),
+        _outer_rr(j_bb_pose, j_bb_obj).reshape(-1, 42),
         plan.bb_factor_pair,
         num_segments=n_ob_pair,
     ).reshape(n_ob_pair, 6, 7)
@@ -778,7 +814,7 @@ def compute_step(
             m,
             m,
             (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_GRAM_PRECISION,
             preferred_element_type=dtype,
         )
 
@@ -822,14 +858,14 @@ def compute_step(
             onehot,
             w_comp,
             (((1,), (1,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_P_HI,
             preferred_element_type=dtype,
         ).reshape(L, n_pose, 6, bw)
         s = jax.lax.dot_general(
             z,
             z,
             (((0, 3), (0, 3)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_GRAM_PRECISION,
             preferred_element_type=dtype,
         )  # (P, 6, P, 6)
         return s.reshape(n_pose * 6, n_pose * 6), z
@@ -860,9 +896,7 @@ def compute_step(
         # (3) U itself is never scattered: _slot_gram builds the per-landmark
         #     blocks with a one-hot matmul (column order under a gram is
         #     free, so the landmark axis is compacted to observed landmarks).
-        w_scaled = jnp.einsum(
-            "pik,pkl->pil", w_pt, g_ll[plan.pt_pair_point]
-        )  # (Np, 6, 3)
+        w_scaled = geo.bmm(w_pt, g_ll[plan.pt_pair_point])  # (Np, 6, 3)
         if pt_slot_ok:
             s_sub2, z_pt = _slot_gram(
                 w_scaled,
@@ -886,9 +920,7 @@ def compute_step(
         # Object (bbox) Schur subtraction the same way: v_ob = W_ob G_oo on
         # the (pose, object) grid reproduces every -W_a Hoo^-1 W_b^T block
         # (diagonal included).
-        w_ob_scaled = jnp.einsum(
-            "pik,pkl->pil", w_ob, g_oo[plan.ob_pair_obj]
-        )  # (No, 6, 7)
+        w_ob_scaled = geo.bmm(w_ob, g_oo[plan.ob_pair_obj])  # (No, 6, 7)
         if ob_slot_ok:
             s_sub_ob, z_ob = _slot_gram(
                 w_ob_scaled,
@@ -964,14 +996,14 @@ def compute_step(
         h_pp_masked = (
             h_pp_d * act[:, None, None] + (1.0 - act)[:, None, None] * eye6
         )
-        rl_cross = jnp.einsum("fri,frj->fij", j_rl_b, j_rl_a)
+        rl_cross = _outer_rr(j_rl_b, j_rl_a)
         s4_idx_a = [diag_idx, tables.relpose.before_idx, tables.relpose.after_idx]
         s4_idx_b = [diag_idx, tables.relpose.after_idx, tables.relpose.before_idx]
         s4_updates = [h_pp_masked, rl_cross, jnp.swapaxes(rl_cross, -1, -2)]
-        wha_pt = jnp.einsum(
-            "cik,ckl->cil", w_pt[plan.pt_cross_a], h_ll_inv[plan.pt_pair_point[plan.pt_cross_a]]
+        wha_pt = geo.bmm(
+            w_pt[plan.pt_cross_a], h_ll_inv[plan.pt_pair_point[plan.pt_cross_a]]
         )
-        cross_pt = -jnp.einsum("cil,cjl->cij", wha_pt, w_pt[plan.pt_cross_b])
+        cross_pt = -geo.bmm(wha_pt, jnp.swapaxes(w_pt[plan.pt_cross_b], -1, -2))
         cross_pt = cross_pt * plan.pt_cross_mask[:, None, None].astype(dtype)
         n_pt_dest = plan.pt_dest_a.shape[0]
         dest_pt = jax.ops.segment_sum(
@@ -981,10 +1013,10 @@ def compute_step(
         s4_idx_a.append(plan.pt_dest_a)
         s4_idx_b.append(plan.pt_dest_b)
         s4_updates.append(dest_pt)
-        wha_ob = jnp.einsum(
-            "cik,ckl->cil", w_ob[plan.ob_cross_a], h_oo_inv[plan.ob_pair_obj[plan.ob_cross_a]]
+        wha_ob = geo.bmm(
+            w_ob[plan.ob_cross_a], h_oo_inv[plan.ob_pair_obj[plan.ob_cross_a]]
         )
-        cross_ob = -jnp.einsum("cil,cjl->cij", wha_ob, w_ob[plan.ob_cross_b])
+        cross_ob = -geo.bmm(wha_ob, jnp.swapaxes(w_ob[plan.ob_cross_b], -1, -2))
         cross_ob = cross_ob * plan.ob_cross_mask[:, None, None].astype(dtype)
         n_ob_dest = plan.ob_dest_a.shape[0]
         dest_ob = jax.ops.segment_sum(
@@ -1006,7 +1038,7 @@ def compute_step(
     g_ll_slot = g_oo_slot = None
     if z_pt is not None:
         g_ll_slot = g_ll[plan.pt_slot_land]
-        y_pt = jnp.einsum("lab,la->lb", g_ll_slot, b_l[plan.pt_slot_land])
+        y_pt = (g_ll_slot * b_l[plan.pt_slot_land][:, :, None]).sum(1)
         b_s = b_s - jax.lax.dot_general(
             z_pt,
             y_pt,
@@ -1015,16 +1047,11 @@ def compute_step(
             preferred_element_type=dtype,
         )
     else:
-        wb_pt = jnp.einsum(
-            "pik,pkl,pl->pi",
-            w_pt,
-            h_ll_inv[plan.pt_pair_point],
-            b_l[plan.pt_pair_point],
-        )
+        wb_pt = geo.bmv(w_pt, geo.bmv(h_ll_inv[plan.pt_pair_point], b_l[plan.pt_pair_point]))
         b_s = b_s.at[plan.pt_pair_pose].add(-wb_pt)
     if z_ob is not None:
         g_oo_slot = g_oo[plan.ob_slot_land]
-        y_ob = jnp.einsum("lab,la->lb", g_oo_slot, b_o[plan.ob_slot_land])
+        y_ob = (g_oo_slot * b_o[plan.ob_slot_land][:, :, None]).sum(1)
         b_s = b_s - jax.lax.dot_general(
             z_ob,
             y_ob,
@@ -1033,12 +1060,7 @@ def compute_step(
             preferred_element_type=dtype,
         )
     else:
-        wb_ob = jnp.einsum(
-            "pik,pkl,pl->pi",
-            w_ob,
-            h_oo_inv[plan.ob_pair_obj],
-            b_o[plan.ob_pair_obj],
-        )
+        wb_ob = geo.bmv(w_ob, geo.bmv(h_oo_inv[plan.ob_pair_obj], b_o[plan.ob_pair_obj]))
         b_s = b_s.at[plan.ob_pair_pose].add(-wb_ob)
 
     b_s = b_s * act[:, None]
@@ -1083,7 +1105,7 @@ def compute_step(
     # The Hxx^-1 b_x base term runs over ALL landmarks, which also covers
     # prior-only landmarks absent from the slot grid.
     if z_pt is not None:
-        delta_l = jnp.einsum("mkl,ml->mk", h_ll_inv, b_l)
+        delta_l = geo.bmv(h_ll_inv, b_l)
         q_pt = jax.lax.dot_general(
             z_pt,
             delta_p,
@@ -1091,21 +1113,21 @@ def compute_step(
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=dtype,
         )  # (L, 3) = G^T W^T delta_p
-        corr = jnp.einsum("lab,lb->la", g_ll_slot, q_pt)
+        corr = geo.bmv(g_ll_slot, q_pt)
         live_row = jnp.any(plan.pt_slot_mask, axis=1)
         safe_land = jnp.where(live_row, plan.pt_slot_land, n_point)
         delta_l = delta_l.at[safe_land].add(
             -corr, mode="drop", unique_indices=True
         )
     else:
-        wt_dp_pt = jnp.einsum("pik,pi->pk", w_pt, delta_p[plan.pt_pair_pose])
+        wt_dp_pt = (w_pt * delta_p[plan.pt_pair_pose][:, :, None]).sum(1)
         rhs_l = b_l - jax.ops.segment_sum(
             wt_dp_pt, plan.pt_pair_point, num_segments=n_point
         )
-        delta_l = jnp.einsum("mkl,ml->mk", h_ll_inv, rhs_l)
+        delta_l = geo.bmv(h_ll_inv, rhs_l)
     delta_l = delta_l * (~ll_singular[:, None]) * point_free[:, None]
     if z_ob is not None:
-        delta_o = jnp.einsum("mkl,ml->mk", h_oo_inv, b_o)
+        delta_o = geo.bmv(h_oo_inv, b_o)
         q_ob = jax.lax.dot_general(
             z_ob,
             delta_p,
@@ -1113,18 +1135,18 @@ def compute_step(
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=dtype,
         )  # (Lo, 7)
-        corr_o = jnp.einsum("lab,lb->la", g_oo_slot, q_ob)
+        corr_o = geo.bmv(g_oo_slot, q_ob)
         live_row_o = jnp.any(plan.ob_slot_mask, axis=1)
         safe_obj = jnp.where(live_row_o, plan.ob_slot_land, n_obj)
         delta_o = delta_o.at[safe_obj].add(
             -corr_o, mode="drop", unique_indices=True
         )
     else:
-        wt_dp_ob = jnp.einsum("pik,pi->pk", w_ob, delta_p[plan.ob_pair_pose])
+        wt_dp_ob = (w_ob * delta_p[plan.ob_pair_pose][:, :, None]).sum(1)
         rhs_o = b_o - jax.ops.segment_sum(
             wt_dp_ob, plan.ob_pair_obj, num_segments=n_obj
         )
-        delta_o = jnp.einsum("mkl,ml->mk", h_oo_inv, rhs_o)
+        delta_o = geo.bmv(h_oo_inv, rhs_o)
     delta_o = delta_o * (~oo_singular[:, None]) * obj_free[:, None]
     delta_p = delta_p * act[:, None]
 
@@ -1132,7 +1154,7 @@ def compute_step(
     def jdelta(j_blocks_and_deltas):
         out = 0.0
         for j, d in j_blocks_and_deltas:
-            out = out + jnp.einsum("fri,fi->fr", j, d)
+            out = out + geo.bmv(j, d)
         return out
 
     m_rp = jdelta(
@@ -1171,6 +1193,7 @@ def compute_step(
     return delta, model_cost_change, grad_max
 
 
+@fac.highest_matmul
 def compute_marginal_covariances(
     state: BAState,
     cams: CameraBundle,
