@@ -218,3 +218,52 @@ class TestLtmPrior:
         )
         state, summary = slv.solve(state_gt, cams, tables, plan, free)
         np.testing.assert_allclose(np.asarray(state.objects[0]), mean, atol=1e-6)
+
+
+class TestSlotLayout:
+    """The per-landmark slot grid behind the MXU one-hot Schur assembly."""
+
+    def test_slot_layout_roundtrip(self):
+        from obvi_slam_tpu.solver.schur import _slot_layout
+
+        rng = np.random.default_rng(5)
+        n_pairs = 37
+        pair_block = rng.integers(0, 9, n_pairs)  # pose per pair
+        # landmarks with uneven degrees, ids non-contiguous
+        pair_land = np.repeat([2, 5, 11, 12, 40], [3, 9, 1, 20, 4])
+        # every (pose, land) pair must be unique per landmark group
+        for land in np.unique(pair_land):
+            idx = np.nonzero(pair_land == land)[0]
+            pair_block[idx] = rng.choice(64, size=len(idx), replace=False)
+        gather, pose, mask, land = _slot_layout(pair_block, pair_land, n_pairs)
+        # grid shapes bucketed
+        assert gather.shape == pose.shape == mask.shape
+        assert land.shape[0] == gather.shape[0]
+        assert gather.shape[1] >= 20  # max degree
+        # exactly one live slot per pair, pointing back at the right pair
+        assert int(mask.sum()) == n_pairs
+        rows, cols = np.nonzero(mask)
+        back = gather[rows, cols]
+        assert sorted(back.tolist()) == list(range(n_pairs))
+        # slot pose/land match the pair they reference
+        np.testing.assert_array_equal(pose[rows, cols], pair_block[back])
+        np.testing.assert_array_equal(land[rows], pair_land[back])
+
+    def test_slot_layout_empty(self):
+        from obvi_slam_tpu.solver.schur import _slot_layout
+
+        gather, pose, mask, land = _slot_layout(
+            np.zeros(0, np.int64), np.zeros(0, np.int64), 0
+        )
+        assert mask.sum() == 0 and gather.shape[0] >= 1
+
+    def test_capacity_grid(self):
+        from obvi_slam_tpu.solver.schur import _round_up
+
+        # {2^k, 1.5*2^k} grid, monotone, >= n
+        for n in [1, 63, 64, 65, 96, 97, 128, 24576, 24577, 32768]:
+            cap = _round_up(n)
+            assert cap >= max(n, 64)
+        assert _round_up(24576) == 24576  # 1.5 * 2^14 — no waste
+        assert _round_up(97) == 128
+        assert _round_up(96) == 96
