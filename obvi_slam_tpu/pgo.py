@@ -22,7 +22,12 @@ from typing import List, Tuple
 import numpy as np
 
 from obvi_slam_tpu import solver as slv
-from obvi_slam_tpu.solver.problem import Scope, build_problem, write_back
+from obvi_slam_tpu.solver.problem import (
+    Scope,
+    build_problem,
+    update_caps_pool,
+    write_back,
+)
 from obvi_slam_tpu.timing import timer
 
 
@@ -40,12 +45,15 @@ def run_tracking_solve(runner, data, pg, next_frame_id):
     min_frame = max(0, next_frame_id - en.poses_prior_to_window_to_keep_constant)
     scope = runner._scope(min_frame, next_frame_id)
     with timer("obj_only_pgo_local_track_build"):
+        pool = runner.caps_pool("pgo_tracking")
         problem = build_problem(
             pg,
             scope,
             runner.config.object_visual_pose_graph_residual_params,
             dtype=runner.dtype,
+            caps=pool,
         )
+        update_caps_pool(pool, problem)
     with timer("obj_only_pgo_local_track_solve"):
         state, summary = slv.solve(
             problem.state,
@@ -103,6 +111,7 @@ def run_pgo_plus_ellipsoids(runner, data, pg, max_frame_id, final_run, attempt_n
             include_visual_factors=False,
             poses_prior_to_window_to_keep_constant=1,
         )
+        pool = runner.caps_pool("pgo")
         problem = build_problem(
             pg,
             scope,
@@ -110,7 +119,9 @@ def run_pgo_plus_ellipsoids(runner, data, pg, max_frame_id, final_run, attempt_n
             dtype=runner.dtype,
             synthesized_relpose=synthesized,
             relpose_huber_override=pgo_params.relative_pose_factor_huber_loss,
+            caps=pool,
         )
+        update_caps_pool(pool, problem)
 
     with timer("obj_only_pgo_solve_pgo"):
         solver_params = (
@@ -150,12 +161,15 @@ def run_pgo_plus_ellipsoids(runner, data, pg, max_frame_id, final_run, attempt_n
             include_object_factors=False,
         )
         with timer("obj_only_pgo_opt_feat_adjust_build"):
+            vf_pool = runner.caps_pool("pgo_vf")
             vf_problem = build_problem(
                 pg,
                 vf_scope,
                 runner.config.object_visual_pose_graph_residual_params,
                 dtype=runner.dtype,
+                caps=vf_pool,
             )
+            update_caps_pool(vf_pool, vf_problem)
         with timer("obj_only_pgo_opt_feat_adjust_solve"):
             vf_params = (
                 pgo_params.final_post_pgo_vf_adjustment_solver_params

@@ -42,6 +42,7 @@ from obvi_slam_tpu.solver.problem import (
     Scope,
     build_problem,
     reweight_for_exclusions,
+    update_caps_pool,
     write_back,
 )
 from obvi_slam_tpu.timing import timer
@@ -135,6 +136,14 @@ class OfflineProblemRunner:
         self.dtype = dtype
         self.opt_log: List[OptLogRecord] = []
         self.visual_frontend = None  # set by run_optimization
+        # Session high-water capacity pools, one per solve class: passed as
+        # ``caps`` to build_problem so jit signatures change only on
+        # high-water growth (problem.observed_caps).
+        self._caps_pools = {}
+
+    # ------------------------------------------------------------------
+    def caps_pool(self, key: str) -> dict:
+        return self._caps_pools.setdefault(key, {})
 
     # ------------------------------------------------------------------
     def _gba_checker(self, frame_id, max_frame_id) -> bool:
@@ -276,12 +285,15 @@ class OfflineProblemRunner:
             with timer(
                 ("phase_one_gba_build_opt" if global_ba else "phase_one_lba_build_opt")
             ):
+                pool = self.caps_pool("global" if global_ba else "local")
                 problem = build_problem(
                     pg,
                     scope,
                     self.config.object_visual_pose_graph_residual_params,
                     dtype=self.dtype,
+                    caps=pool,
                 )
+                update_caps_pool(pool, problem)
             snapshot = pg.snapshot_values()
 
             with timer(

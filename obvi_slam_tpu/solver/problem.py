@@ -292,22 +292,34 @@ def build_problem(
         rl_w = np.ones(len(synthesized_relpose))
 
     caps = dict(caps or {})
-    rp_cap = caps.get("reproj", _bucket(len(reproj_rows)))
-    bb_cap = caps.get("bbox", _bucket(len(bbox_rows)))
-    sh_cap = caps.get("shape", _bucket(len(shape_rows)))
+    # Pinned caps are MINIMUMS (session high-water marks for jit-signature
+    # stability); the window's actual needs always win.
+    rp_cap = max(caps.get("reproj", 0), _bucket(len(reproj_rows)))
+    bb_cap = max(caps.get("bbox", 0), _bucket(len(bbox_rows)))
+    sh_cap = max(caps.get("shape", 0), _bucket(len(shape_rows)))
     n_rl = len(synthesized_relpose) if synthesized_relpose is not None else len(relpose_rows)
-    rl_cap = caps.get("relpose", _bucket(n_rl))
-    lt_cap = caps.get("ltm", _bucket(len(ltm_rows)))
+    rl_cap = max(caps.get("relpose", 0), _bucket(n_rl))
+    lt_cap = max(caps.get("ltm", 0), _bucket(len(ltm_rows)))
 
     # --- state arrays ------------------------------------------------------
-    poses = np.stack([pg.robot_poses[f] for f in frames]) if frames else np.zeros((1, 6))
-    points = (
-        np.stack([pg.features[f] for f in feat_ids]) if feat_ids else np.zeros((1, 3))
-    )
-    objects = (
-        np.stack([pg.objects[o].ellipsoid for o in obj_ids])
-        if obj_ids
-        else np.zeros((1, 7))
+    # Bucketed like the factor tables: otherwise every window with a new
+    # feature count is a fresh jit signature. Padding rows are zeros with
+    # free=False — no factor references them, their H blocks hit the
+    # singular-guard, and write-back skips non-free rows.
+    pose_cap = max(caps.get("n_pose", 0), _bucket(max(len(frames), 1), minimum=8))
+    point_cap = max(caps.get("n_point", 0), _bucket(max(len(feat_ids), 1)))
+    obj_cap = max(caps.get("n_obj", 0), _bucket(max(len(obj_ids), 1), minimum=8))
+
+    def _pad_rows(rows, cap, width):
+        out = np.zeros((cap, width))
+        if len(rows):
+            out[: len(rows)] = np.stack(rows)
+        return out
+
+    poses = _pad_rows([pg.robot_poses[f] for f in frames], pose_cap, 6)
+    points = _pad_rows([pg.features[f] for f in feat_ids], point_cap, 3)
+    objects = _pad_rows(
+        [pg.objects[o].ellipsoid for o in obj_ids], obj_cap, 7
     )
     state = T.BAState(
         poses=jnp.asarray(poses.astype(dtype)),
@@ -445,6 +457,7 @@ def build_problem(
     # --- free masks --------------------------------------------------------
     n_pose = state.poses.shape[0]
     pose_free = np.ones(n_pose, dtype=bool)
+    pose_free[len(frames):] = False  # state-capacity padding rows
     if scope.fix_poses:
         pose_free[:] = False
     else:
@@ -458,9 +471,11 @@ def build_problem(
                 if fr in pose_row_of:
                     pose_free[pose_row_of[fr]] = False
     point_free = np.ones(state.points.shape[0], dtype=bool)
+    point_free[len(feat_ids):] = False
     if scope.fix_visual_features or not feat_ids:
         point_free[:] = False
     obj_free = np.ones(state.objects.shape[0], dtype=bool)
+    obj_free[len(obj_ids):] = False
     if scope.fix_objects or not obj_ids:
         obj_free[:] = False
     else:
@@ -489,7 +504,20 @@ def build_problem(
     )
 
     plan_caps = {
-        k: caps[k] for k in ("pt_pair", "pt_cross", "ob_pair", "ob_cross") if k in caps
+        k: caps[k]
+        for k in (
+            "pt_pair",
+            "pt_cross",
+            "pt_dest",
+            "pt_slot_land",
+            "pt_slot_c",
+            "ob_pair",
+            "ob_cross",
+            "ob_dest",
+            "ob_slot_land",
+            "ob_slot_c",
+        )
+        if k in caps
     }
     plan = schur_mod.build_schur_plan_host(
         rp_pose, rp_point, rp_cap, bb_pose, bb_obj, bb_cap, plan_caps or None
@@ -538,6 +566,44 @@ def build_problem(
             "ltm": lt_w,
         },
     )
+
+
+def observed_caps(problem: "Problem") -> dict:
+    """The capacities a built Problem actually used, as a caps dict.
+
+    Callers that build problems repeatedly (the per-frame runner, PGO)
+    max-accumulate these into a session pool and pass the pool back as
+    ``caps`` — capacities then grow monotonically, so the jit signature
+    changes only on high-water growth (O(log) recompiles per session)
+    instead of per window."""
+    p, t = problem.plan, problem.tables
+    return {
+        "reproj": t.reproj.mask.shape[0],
+        "bbox": t.bbox.mask.shape[0],
+        "shape": t.shape.mask.shape[0],
+        "relpose": t.relpose.mask.shape[0],
+        "ltm": t.ltm.mask.shape[0],
+        "n_pose": problem.state.poses.shape[0],
+        "n_point": problem.state.points.shape[0],
+        "n_obj": problem.state.objects.shape[0],
+        "pt_pair": p.pt_pair_pose.shape[0],
+        "pt_cross": p.pt_cross_a.shape[0],
+        "pt_dest": p.pt_dest_a.shape[0],
+        "pt_slot_land": p.pt_slot_gather.shape[0],
+        "pt_slot_c": p.pt_slot_gather.shape[1],
+        "ob_pair": p.ob_pair_pose.shape[0],
+        "ob_cross": p.ob_cross_a.shape[0],
+        "ob_dest": p.ob_dest_a.shape[0],
+        "ob_slot_land": p.ob_slot_gather.shape[0],
+        "ob_slot_c": p.ob_slot_gather.shape[1],
+    }
+
+
+def update_caps_pool(pool: dict, problem: "Problem") -> dict:
+    """Max-accumulate a Problem's observed capacities into ``pool``."""
+    for k, v in observed_caps(problem).items():
+        pool[k] = max(pool.get(k, 0), int(v))
+    return pool
 
 
 def reweight_for_exclusions(

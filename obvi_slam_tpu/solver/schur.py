@@ -176,7 +176,7 @@ def _slot_layout(pair_block, pair_land, n_pairs, land_cap=None, cmax_cap=None):
 
 def _build_pairs(
     block_idx, land_idx, mask, pair_cap=None, cross_cap=None,
-    land_cap=None, cmax_cap=None,
+    land_cap=None, cmax_cap=None, dest_cap=None,
 ):
     """Unique (pose, landmark) pairs and the per-landmark ordered cross pairs.
 
@@ -198,9 +198,11 @@ def _build_pairs(
         ) = native
         n_pairs = len(pair_block)
         n_dest = len(dest_a)
-        pair_cap = pair_cap or _round_up(n_pairs)
-        cross_cap = cross_cap or _round_up(len(cross_a))
-        dest_cap = _round_up(n_dest)
+        # Pinned caps are MINIMUMS (callers pass session high-water marks for
+        # jit-signature stability); actual needs always win.
+        pair_cap = max(pair_cap or 0, _round_up(n_pairs))
+        cross_cap = max(cross_cap or 0, _round_up(len(cross_a)))
+        dest_cap = max(dest_cap or 0, _round_up(n_dest))
 
         def pad_i(x, cap, fill=0):
             out = np.full(cap, fill, dtype=np.int32)
@@ -272,9 +274,9 @@ def _build_pairs(
         cross_dest = np.zeros(0, dtype=np.int64)
     n_dest = len(dest_uniq)
 
-    pair_cap = pair_cap or _round_up(n_pairs)
-    cross_cap = cross_cap or _round_up(len(cross_a))
-    dest_cap = _round_up(n_dest)
+    pair_cap = max(pair_cap or 0, _round_up(n_pairs))
+    cross_cap = max(cross_cap or 0, _round_up(len(cross_a)))
+    dest_cap = max(dest_cap or 0, _round_up(n_dest))
 
     def pad_i(x, cap, fill=0):
         out = np.full(cap, fill, dtype=np.int32)
@@ -387,6 +389,7 @@ def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
         caps.get("pt_cross"),
         caps.get("pt_slot_land"),
         caps.get("pt_slot_c"),
+        caps.get("pt_dest"),
     )
     bb = tables.bbox
     (
@@ -413,6 +416,7 @@ def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
         caps.get("ob_cross"),
         caps.get("ob_slot_land"),
         caps.get("ob_slot_c"),
+        caps.get("ob_dest"),
     )
     return SchurPlan(
         rp_factor_pair=jnp.asarray(rp_factor_pair),
@@ -861,6 +865,12 @@ def compute_step(
             precision=_P_HI,
             preferred_element_type=dtype,
         ).reshape(L, n_pose, 6, bw)
+        # NOTE: a "matricize once" variant (z pre-transposed to
+        # (n_pose*6, L*bw) shared by gram / reduced-RHS / back-substitution)
+        # was tried and is 33% SLOWER end-to-end on TPU (97 vs 146 it/s on
+        # the bench problem): the explicit transpose copy of the ~75 MB
+        # buffer costs more than the per-consumer layout assignments XLA
+        # picks for the 4-D form. Keep the 4-D z.
         s = jax.lax.dot_general(
             z,
             z,

@@ -9,6 +9,38 @@ Otherwise every test compilation round-trips through the TPU tunnel.
 """
 
 import os
+import sys
+
+# The axon PJRT plugin (loaded by sitecustomize when PALLAS_AXON_POOL_IPS is
+# set) intermittently SEGFAULTS inside XLA:CPU compilation when it is merely
+# present in the process — observed killing full-suite runs mid-compile
+# (exit 139 in backend_compile_and_load). Tests are CPU-only by design, so
+# re-exec the whole pytest process once with the trigger env removed: the
+# sitecustomize then registers nothing and jax is pure-CPU. The re-exec
+# happens in pytest_configure (below) so the capture manager can first
+# restore the real stdout/stderr fds — at conftest-import time fd 1/2
+# already point into pytest's capture tmpfiles and the new process's output
+# would vanish into them.
+
+
+def pytest_configure(config):
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    xf = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xf:
+        env["XLA_FLAGS"] = (xf + " --xla_force_host_platform_device_count=8").strip()
+    os.execve(
+        sys.executable,
+        [sys.executable, "-m", "pytest"] + list(config.invocation_params.args),
+        env,
+    )
+
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -267,3 +267,89 @@ class TestSlotLayout:
         assert _round_up(24576) == 24576  # 1.5 * 2^14 — no waste
         assert _round_up(97) == 128
         assert _round_up(96) == 96
+
+
+class TestCapsPool:
+    """Session high-water capacity pools: passing a larger window's observed
+    caps into a smaller window's build must reproduce the SAME array shapes
+    (one jit signature for both), and a window that outgrows the pool must
+    still get capacities that fit."""
+
+    @staticmethod
+    def _make_pg(n_frames, n_feats):
+        from obvi_slam_tpu.pose_graph import CameraInfo, PoseGraph
+
+        K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+        pg = PoseGraph({1: CameraInfo(K, np.eye(3), np.zeros(3))})
+        rng = np.random.default_rng(7)
+        pts = np.stack(
+            [rng.uniform(-3, 3, n_feats), rng.uniform(-1, 1, n_feats), rng.uniform(5, 12, n_feats)],
+            axis=1,
+        )
+        for i in range(n_frames):
+            pose = np.zeros(6)
+            pose[0] = 0.3 * i
+            pg.add_frame(i, pose)
+            if i:
+                rel = np.zeros(6)
+                rel[0] = 0.3
+                pg.add_pose_factor(i - 1, i, rel, np.eye(6) * 1e-4)
+        for j in range(n_feats):
+            pg.add_feature(j, pts[j])
+            for i in range(n_frames):
+                pg.add_visual_factor(i, 1, j, [320.0 + j, 240.0 + i], 1.3)
+        return pg
+
+    def _shapes(self, problem):
+        import jax
+
+        return jax.tree_util.tree_map(
+            lambda x: getattr(x, "shape", None),
+            (problem.state, problem.tables, problem.plan, problem.free),
+        )
+
+    def test_pool_pins_smaller_window_to_same_signature(self):
+        from obvi_slam_tpu.solver.problem import Scope, build_problem, update_caps_pool
+
+        pg = self._make_pg(n_frames=10, n_feats=25)
+        pool = {}
+        big = build_problem(pg, Scope(0, 9), None, caps=pool)
+        update_caps_pool(pool, big)
+        small = build_problem(pg, Scope(6, 9), None, caps=pool)
+        assert self._shapes(small) == self._shapes(big)
+        # pool unchanged by the smaller build
+        update_caps_pool(pool, small)
+        again = build_problem(pg, Scope(4, 9), None, caps=pool)
+        assert self._shapes(again) == self._shapes(big)
+
+    def test_window_outgrowing_pool_still_fits(self):
+        from obvi_slam_tpu.solver.problem import Scope, build_problem, update_caps_pool
+
+        pg = self._make_pg(n_frames=12, n_feats=30)
+        pool = {}
+        small = build_problem(pg, Scope(8, 11), None, caps=pool)
+        update_caps_pool(pool, small)
+        big = build_problem(pg, Scope(0, 11), None, caps=pool)
+        # every live factor row fits under its mask capacity
+        t = big.tables
+        assert t.reproj.mask.shape[0] >= len(big.reproj_rows)
+        assert big.state.poses.shape[0] >= 12
+        assert big.state.points.shape[0] >= 30
+        # and the big build's solution matches a pool-free build numerically
+        free_build = build_problem(pg, Scope(0, 11), None)
+        import obvi_slam_tpu.factors as fac
+
+        def cost(p):
+            return float(
+                fac.total_cost(
+                    p.state, p.cams, p.tables,
+                    huber_reproj=p.huber.reproj, huber_bbox=p.huber.bbox,
+                    huber_shape=p.huber.shape, huber_relpose=p.huber.relpose,
+                    huber_ltm=p.huber.ltm, invalid_error=p.huber.invalid_ellipse_error,
+                    reproj_weight=p.weights.reproj, bbox_weight=p.weights.bbox,
+                    shape_weight=p.weights.shape, relpose_weight=p.weights.relpose,
+                    ltm_weight=p.weights.ltm,
+                )
+            )
+
+        np.testing.assert_allclose(cost(big), cost(free_build), rtol=1e-9)
