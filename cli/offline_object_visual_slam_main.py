@@ -38,6 +38,19 @@ def main(argv=None):
     parser.add_argument("--platform", default="", help="jax platform override (cpu/tpu)")
     parser.add_argument("--f64", action="store_true", help="double-precision solves")
     parser.add_argument(
+        "--shard_devices",
+        type=int,
+        default=0,
+        help="shard global-BA solves across the first N jax devices "
+        "(factor-axis data parallelism over a Mesh; 0 = single device). "
+        "The scale-out capability the reference lacks (SURVEY.md §2.11).",
+    )
+    parser.add_argument(
+        "--shard_local_ba",
+        action="store_true",
+        help="also shard sliding-window (local BA) solves on the mesh",
+    )
+    parser.add_argument(
         "--profile_trace_dir",
         default="",
         help="capture a jax.profiler trace of the whole session into this "
@@ -152,7 +165,14 @@ def main(argv=None):
         ),
         bb_frontend,
     )
-    runner = OfflineProblemRunner(config, hooks)
+    mesh = None
+    if args.shard_devices > 1:
+        from obvi_slam_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(jax.devices()[: args.shard_devices])
+    runner = OfflineProblemRunner(
+        config, hooks, mesh=mesh, shard_local_ba=args.shard_local_ba
+    )
     max_frame = max(initial_poses)
     vf = VisualFeatureFrontend(
         gba_checker=lambda f: runner._gba_checker(f, max_frame),

@@ -122,6 +122,8 @@ def run_pgo_plus_ellipsoids(runner, data, pg, max_frame_id, final_run, attempt_n
             caps=pool,
         )
         update_caps_pool(pool, problem)
+        # PGO runs only on global-BA frames: shard on the runner's mesh.
+        problem = runner._maybe_shard(problem, True)
 
     with timer("obj_only_pgo_solve_pgo"):
         solver_params = (
@@ -170,6 +172,7 @@ def run_pgo_plus_ellipsoids(runner, data, pg, max_frame_id, final_run, attempt_n
                 caps=vf_pool,
             )
             update_caps_pool(vf_pool, vf_problem)
+            vf_problem = runner._maybe_shard(vf_problem, True)
         with timer("obj_only_pgo_opt_feat_adjust_solve"):
             vf_params = (
                 pgo_params.final_post_pgo_vf_adjustment_solver_params

@@ -130,6 +130,8 @@ class OfflineProblemRunner:
         config: cfg.FullOVSLAMConfig,
         hooks: RunnerHooks = None,
         dtype=np.float64,
+        mesh=None,
+        shard_local_ba: bool = False,
     ):
         self.config = config
         self.hooks = hooks or RunnerHooks()
@@ -140,10 +142,35 @@ class OfflineProblemRunner:
         # ``caps`` to build_problem so jit signatures change only on
         # high-water growth (problem.observed_caps).
         self._caps_pools = {}
+        # Multi-chip scale-out (the capability the reference lacks — its
+        # solver is Ceres threads only, SURVEY.md §2.11): when a
+        # jax.sharding.Mesh is given, global-BA problems are resharded onto
+        # it (factor tables/plan/weights on the factor axis, state
+        # replicated) before the solve; XLA partitions compute_step and
+        # all-reduces the H/b/S accumulations over ICI. Local BA windows are
+        # usually too small to amortize collectives — opt in with
+        # shard_local_ba.
+        self.mesh = mesh
+        self.shard_local_ba = shard_local_ba
 
     # ------------------------------------------------------------------
     def caps_pool(self, key: str) -> dict:
         return self._caps_pools.setdefault(key, {})
+
+    # ------------------------------------------------------------------
+    def _maybe_shard(self, problem, global_ba: bool):
+        if self.mesh is None or not (global_ba or self.shard_local_ba):
+            return problem
+        from obvi_slam_tpu.parallel.sharding import shard_problem
+
+        return shard_problem(problem, self.mesh)
+
+    def _maybe_shard_weights(self, weights, global_ba: bool):
+        if self.mesh is None or not (global_ba or self.shard_local_ba):
+            return weights
+        from obvi_slam_tpu.parallel.sharding import shard_weights
+
+        return shard_weights(weights, self.mesh)
 
     # ------------------------------------------------------------------
     def _gba_checker(self, frame_id, max_frame_id) -> bool:
@@ -294,6 +321,7 @@ class OfflineProblemRunner:
                     caps=pool,
                 )
                 update_caps_pool(pool, problem)
+                problem = self._maybe_shard(problem, global_ba)
             snapshot = pg.snapshot_values()
 
             with timer(
@@ -337,7 +365,9 @@ class OfflineProblemRunner:
                 with timer(
                     ("phase_two_gba_build_opt" if global_ba else "phase_two_lba_build_opt")
                 ):
-                    weights2 = reweight_for_exclusions(pg, problem, excluded)
+                    weights2 = self._maybe_shard_weights(
+                        reweight_for_exclusions(pg, problem, excluded), global_ba
+                    )
                 with timer(
                     ("phase_two_gba_solve_opt" if global_ba else "phase_two_lba_solve_opt")
                 ):

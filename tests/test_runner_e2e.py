@@ -191,3 +191,40 @@ class TestVisualOnlyEndToEnd:
             "phase_two_gba_solve_opt",
         ):
             assert expected in names, (expected, names)
+
+
+class TestShardedRunner:
+    """Multi-chip wiring: a runner given an 8-device mesh shards every
+    global-BA (and, when opted in, local-BA) solve across the factor axis and
+    must produce the same trajectory as the single-device runner — the
+    sharded program is the same numeric computation with XLA-inserted
+    all-reduces (f64 on CPU, so equality is tight)."""
+
+    def _run(self, data, mesh=None, shard_local_ba=False):
+        config = small_config()
+        runner = OfflineProblemRunner(
+            config, mesh=mesh, shard_local_ba=shard_local_ba
+        )
+        pg = PoseGraph(data.cameras)
+        vf = VisualFeatureFrontend(
+            gba_checker=lambda f: runner._gba_checker(f, data.max_frame_id()),
+            reprojection_error_provider=lambda *a: config.visual_feature_params.reprojection_error_std_dev,
+            min_parallax_pixel=config.visual_feature_params.min_visual_feature_parallax_pixel_requirement,
+            inlier_epipolar_err_thresh=config.visual_feature_params.inlier_epipolar_err_thresh,
+            check_past_n_frames=config.visual_feature_params.check_past_n_frames_for_epipolar_err,
+        )
+        assert runner.run_optimization(data, pg, visual_frontend=vf)
+        return np.stack([pg.get_robot_pose(i) for i in range(data.max_frame_id() + 1)])
+
+    def test_sharded_global_ba_matches_single_device(self):
+        import jax
+
+        from obvi_slam_tpu import parallel as par
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        data, gt_poses, _ = make_session(n_frames=8, n_features=30)
+        base = self._run(data)
+        mesh = par.make_mesh(jax.devices()[:8])
+        sharded = self._run(data, mesh=mesh, shard_local_ba=True)
+        np.testing.assert_allclose(sharded, base, rtol=1e-7, atol=1e-9)
