@@ -51,6 +51,13 @@ def main(argv=None):
         help="also shard sliding-window (local BA) solves on the mesh",
     )
     parser.add_argument(
+        "--fused_solver",
+        choices=("auto", "on", "off"),
+        default="auto",
+        help="run the whole LM trust-region loop on device (lax.while_loop, "
+        "one dispatch per solve). auto = on for accelerators, off for CPU",
+    )
+    parser.add_argument(
         "--profile_trace_dir",
         default="",
         help="capture a jax.profiler trace of the whole session into this "
@@ -171,7 +178,11 @@ def main(argv=None):
 
         mesh = make_mesh(jax.devices()[: args.shard_devices])
     runner = OfflineProblemRunner(
-        config, hooks, mesh=mesh, shard_local_ba=args.shard_local_ba
+        config,
+        hooks,
+        mesh=mesh,
+        shard_local_ba=args.shard_local_ba,
+        use_fused_solver={"auto": None, "on": True, "off": False}[args.fused_solver],
     )
     max_frame = max(initial_poses)
     vf = VisualFeatureFrontend(

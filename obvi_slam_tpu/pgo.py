@@ -21,7 +21,6 @@ from typing import List, Tuple
 
 import numpy as np
 
-from obvi_slam_tpu import solver as slv
 from obvi_slam_tpu.solver.problem import (
     Scope,
     build_problem,
@@ -55,17 +54,11 @@ def run_tracking_solve(runner, data, pg, next_frame_id):
         )
         update_caps_pool(pool, problem)
     with timer("obj_only_pgo_local_track_solve"):
-        state, summary = slv.solve(
-            problem.state,
-            problem.cams,
-            problem.tables,
-            problem.plan,
-            problem.free,
-            weights=problem.weights,
-            params=lm_params_from_config(
+        state, summary = runner.solve(
+            problem,
+            lm_params_from_config(
                 runner.config.pgo_solver_params.pre_pgo_tracking_solver_params
             ),
-            huber=problem.huber,
         )
     write_back(pg, problem, state)
     return summary
@@ -131,15 +124,8 @@ def run_pgo_plus_ellipsoids(runner, data, pg, max_frame_id, final_run, attempt_n
             if final_run
             else pgo_params.pgo_optimization_solver_params
         )
-        state, summary = slv.solve(
-            problem.state,
-            problem.cams,
-            problem.tables,
-            problem.plan,
-            problem.free,
-            weights=problem.weights,
-            params=lm_params_from_config(solver_params),
-            huber=problem.huber,
+        state, summary = runner.solve(
+            problem, lm_params_from_config(solver_params)
         )
     write_back(pg, problem, state)
     runner._log_solve(problem, summary, max_frame_id, True, 0, attempt_num)
@@ -179,15 +165,8 @@ def run_pgo_plus_ellipsoids(runner, data, pg, max_frame_id, final_run, attempt_n
                 if final_run
                 else pgo_params.post_pgo_vf_adjustment_solver_params
             )
-            vf_state, _ = slv.solve(
-                vf_problem.state,
-                vf_problem.cams,
-                vf_problem.tables,
-                vf_problem.plan,
-                vf_problem.free,
-                weights=vf_problem.weights,
-                params=lm_params_from_config(vf_params),
-                huber=vf_problem.huber,
+            vf_state, _ = runner.solve(
+                vf_problem, lm_params_from_config(vf_params)
             )
         write_back(pg, vf_problem, vf_state)
     return True

@@ -132,6 +132,7 @@ class OfflineProblemRunner:
         dtype=np.float64,
         mesh=None,
         shard_local_ba: bool = False,
+        use_fused_solver: bool = None,
     ):
         self.config = config
         self.hooks = hooks or RunnerHooks()
@@ -152,10 +153,45 @@ class OfflineProblemRunner:
         # shard_local_ba.
         self.mesh = mesh
         self.shard_local_ba = shard_local_ba
+        # None = auto (fused on accelerators, host loop on CPU); see solve().
+        self.use_fused_solver = use_fused_solver
 
     # ------------------------------------------------------------------
     def caps_pool(self, key: str) -> dict:
         return self._caps_pools.setdefault(key, {})
+
+    # ------------------------------------------------------------------
+    def solve(self, problem, params, weights=None):
+        """Run one LM solve on a built Problem.
+
+        Dispatches to the fused on-device trust-region loop
+        (solver.lm_fused: lax.while_loop, ONE dispatch per solve) on
+        accelerators — per-iteration host round-trips dominate wall time
+        there — and to the host loop (solver.lm) on CPU, where dispatch is
+        cheap and the host loop avoids re-jitting the whole loop per
+        distinct LMParams. Override with use_fused_solver=True/False."""
+        use_fused = self.use_fused_solver
+        if use_fused is None:
+            import jax
+
+            use_fused = jax.default_backend() != "cpu"
+        kwargs = dict(
+            weights=problem.weights if weights is None else weights,
+            params=params,
+            huber=problem.huber,
+        )
+        if use_fused:
+            from obvi_slam_tpu.solver import lm_fused
+
+            return lm_fused.solve_fused(
+                problem.state, problem.cams, problem.tables, problem.plan,
+                problem.free, with_records=self.hooks.solve_logger is not None,
+                **kwargs,
+            )
+        return slv.solve(
+            problem.state, problem.cams, problem.tables, problem.plan,
+            problem.free, **kwargs,
+        )
 
     # ------------------------------------------------------------------
     def _maybe_shard(self, problem, global_ba: bool):
@@ -327,15 +363,9 @@ class OfflineProblemRunner:
             with timer(
                 ("phase_one_gba_solve_opt" if global_ba else "phase_one_lba_solve_opt")
             ):
-                state, summary = slv.solve(
-                    problem.state,
-                    problem.cams,
-                    problem.tables,
-                    problem.plan,
-                    problem.free,
-                    weights=problem.weights,
-                    params=lm_params_from_config(iteration_params.phase_one_opt_params),
-                    huber=problem.huber,
+                state, summary = self.solve(
+                    problem,
+                    lm_params_from_config(iteration_params.phase_one_opt_params),
                 )
             self._log_solve(problem, summary, next_frame_id, global_ba, 1, attempt_num)
 
@@ -371,17 +401,10 @@ class OfflineProblemRunner:
                 with timer(
                     ("phase_two_gba_solve_opt" if global_ba else "phase_two_lba_solve_opt")
                 ):
-                    state, summary = slv.solve(
-                        problem.state,
-                        problem.cams,
-                        problem.tables,
-                        problem.plan,
-                        problem.free,
+                    state, summary = self.solve(
+                        problem,
+                        lm_params_from_config(iteration_params.phase_two_opt_params),
                         weights=weights2,
-                        params=lm_params_from_config(
-                            iteration_params.phase_two_opt_params
-                        ),
-                        huber=problem.huber,
                     )
                 self._log_solve(problem, summary, next_frame_id, global_ba, 2, attempt_num)
 

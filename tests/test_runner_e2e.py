@@ -216,6 +216,30 @@ class TestShardedRunner:
         assert runner.run_optimization(data, pg, visual_frontend=vf)
         return np.stack([pg.get_robot_pose(i) for i in range(data.max_frame_id() + 1)])
 
+    def test_fused_solver_runner_converges(self):
+        """The runner's fused-solver path (lax.while_loop LM, one dispatch
+        per solve — the TPU deployment default) must reach the same quality
+        as the host-loop path on the same session."""
+        data, gt_poses, _ = make_session(n_frames=8, n_features=30)
+        config = small_config()
+        runner = OfflineProblemRunner(config, use_fused_solver=True)
+        pg = PoseGraph(data.cameras)
+        vf = VisualFeatureFrontend(
+            gba_checker=lambda f: runner._gba_checker(f, data.max_frame_id()),
+            reprojection_error_provider=lambda *a: config.visual_feature_params.reprojection_error_std_dev,
+            min_parallax_pixel=config.visual_feature_params.min_visual_feature_parallax_pixel_requirement,
+            inlier_epipolar_err_thresh=config.visual_feature_params.inlier_epipolar_err_thresh,
+            check_past_n_frames=config.visual_feature_params.check_past_n_frames_for_epipolar_err,
+        )
+        assert runner.run_optimization(data, pg, visual_frontend=vf)
+        fused = np.stack(
+            [pg.get_robot_pose(i) for i in range(data.max_frame_id() + 1)]
+        )
+        base = self._run(data)  # host-loop runner on the same session
+        # Same Ceres semantics in both loops; tiny differences only from
+        # f64 reduction-order variation across the two compiled programs.
+        np.testing.assert_allclose(fused, base, rtol=1e-5, atol=1e-7)
+
     def test_sharded_global_ba_matches_single_device(self):
         import jax
 
