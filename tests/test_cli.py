@@ -349,3 +349,48 @@ class TestCheckpointResume:
             capture_output=True, text=True, timeout=300,
         )
         assert r.returncode == 0
+
+
+class TestSequenceExecutor:
+    def test_two_session_ltm_chaining(self, tmp_path):
+        """ltm_trajectory_sequence_executor.py:44-85 equivalent: session 1's
+        LTM must seed session 2 (the second run reassociates detections to
+        the map's objects instead of duplicating them)."""
+        seq = []
+        for i, seed in enumerate((44, 45)):
+            data, gt_poses, gt_objects = make_object_session(n_frames=8, seed=seed)
+            sdir = tmp_path / f"sess{i}"
+            export_session(data, gt_poses, sdir)
+            seq.append(
+                {
+                    "name": f"session_{i}",
+                    "intrinsics_file": str(sdir / "intrinsics.csv"),
+                    "extrinsics_file": str(sdir / "extrinsics.csv"),
+                    "poses_by_node_id_file": str(sdir / "poses.csv"),
+                    "bounding_boxes_by_node_id_file": str(sdir / "bounding_boxes.csv"),
+                    "low_level_feats_dir": str(sdir / "orb_out"),
+                }
+            )
+        write_small_config(tmp_path / "config.json")
+        with open(tmp_path / "sequence.json", "w") as f:
+            json.dump(seq, f)
+        out = tmp_path / "seq_out"
+        r = subprocess.run(
+            [sys.executable, str(REPO / "cli" / "sequence_executor.py"),
+             "--sequence_file", str(tmp_path / "sequence.json"),
+             "--output_dir", str(out),
+             "--params_config_file", str(tmp_path / "config.json"),
+             "--platform", "cpu"],
+            capture_output=True, text=True, timeout=1800,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2500:])
+        ltm1 = json.load(open(out / "session_0" / "long_term_map.json"))
+        ltm2 = json.load(open(out / "session_1" / "long_term_map.json"))
+        assert len(ltm1["ellipsoids"]) == 2, ltm1["ellipsoids"].keys()
+        # Cross-session association: the same two chairs, not four copies.
+        assert len(ltm2["ellipsoids"]) == 2, ltm2["ellipsoids"].keys()
+        # Both sessions produced trajectories of the right length.
+        for name in ("session_0", "session_1"):
+            poses = (out / name / "robot_poses.csv").read_text().strip().splitlines()
+            assert len(poses) == 1 + 8
