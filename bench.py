@@ -15,11 +15,38 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
+
+
+def _probe_accelerator_backend(timeout_s=120):
+    """jax.devices() HANGS (not errors) when the TPU tunnel plugin is loaded
+    but its endpoint is down. Probe device discovery in a throwaway
+    subprocess with a timeout; on failure re-exec this bench as CPU-only so
+    it always produces its JSON line."""
+    if os.environ.get("OBVI_BENCH_NO_PROBE"):
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["OBVI_BENCH_NO_PROBE"] = "1"
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+_probe_accelerator_backend()
 
 import jax
 import jax.numpy as jnp
