@@ -51,6 +51,13 @@ def main(argv=None):
         help="also shard sliding-window (local BA) solves on the mesh",
     )
     parser.add_argument(
+        "--debug_images_output_directory",
+        default="",
+        help="dump per-frame bounding-box-association debug images here "
+        "(SaveToFileVisualizer equivalent, "
+        "offline_object_visual_slam_main.cpp:92)",
+    )
+    parser.add_argument(
         "--fused_solver",
         choices=("auto", "on", "off"),
         default="auto",
@@ -163,6 +170,26 @@ def main(argv=None):
     hooks = RunnerHooks(
         bb_frontend=make_bb_frontend_hook(bb_frontend) if bounding_boxes else None
     )
+    if args.debug_images_output_directory:
+        from obvi_slam_tpu.visualization import (
+            SaveToFileVisualizer,
+            SaveToFileVisualizerConfig,
+        )
+
+        save_to_file_viz = SaveToFileVisualizer(
+            args.debug_images_output_directory,
+            SaveToFileVisualizerConfig(
+                bounding_box_inflation_size=config.feature_based_bb_association_params.bounding_box_inflation_size
+            ),
+            img_heights_and_widths=img_hw,
+        )
+        hooks.visualization = lambda p, stage, frame_id: (
+            save_to_file_viz.bounding_box_front_end_visualization(
+                p, bb_frontend, frame_id
+            )
+            if stage == "AFTER_EACH_OPTIMIZATION"
+            else None
+        )
     hooks.object_merger = lambda p: apply_merges(
         p,
         merge_objects_by_center_proximity(

@@ -141,3 +141,222 @@ def plot_feature_cloud(path: str, points: np.ndarray, trajectory=None, title="fe
     ax.set_title(title)
     fig.savefig(path, dpi=130, bbox_inches="tight")
     plt.close(fig)
+
+
+# ---------------------------------------------------------------------------
+# Per-frame debug image dumps — SaveToFileVisualizer equivalent
+# (save_to_file_visualizer.h:26-116 + debugging_image_utils.h), headless:
+# PIL canvases (real camera images when an image provider is given, neutral
+# background otherwise) instead of sensor_msgs::Image mosaics on ROS topics.
+
+
+def _bb_color_table():
+    """Reference colors (save_to_file_visualizer.h:36-45): associated = red,
+    pending = light blue/magenta-ish (186/255, 0, 247/255); inflated variants
+    are the same colors brightened by 0.3."""
+
+    def brighten(c, amount=0.3):
+        return tuple(int(v + (255 - v) * amount) for v in c)
+
+    assoc = (255, 0, 0)
+    pending = (186, 0, 247)
+    return {
+        "associated": assoc,
+        "associated_inflated": brighten(assoc),
+        "pending": pending,
+        "pending_inflated": brighten(pending),
+        "predicted": (0, 200, 0),
+        "feature": (255, 255, 0),
+        "feature_reproj": (0, 255, 255),
+    }
+
+
+class SaveToFileVisualizerConfig:
+    """SaveToFileBbFrontEndVisualizerConfig (save_to_file_visualizer.h:17-24)."""
+
+    def __init__(
+        self, feature_validity_window: int = 2**31 - 1,
+        bounding_box_inflation_size: float = 0.0,
+    ):
+        self.feature_validity_window = feature_validity_window
+        self.bounding_box_inflation_size = bounding_box_inflation_size
+
+
+class SaveToFileVisualizer:
+    """Dump per-(frame, camera) bounding-box-association debug images.
+
+    Drawn per image (matching boundingBoxFrontEndVisualization's content,
+    save_to_file_visualizer.h:48-116):
+      - associated bbs (red) = object-observation factors in the pose graph,
+        labeled with their object id, plus the inflated box when
+        ``bounding_box_inflation_size`` > 0 (brightened color);
+      - pending bbs (light purple) = observations of not-yet-initialized
+        objects from the bb frontend;
+      - predicted bbs (green) = current ellipsoid estimates projected through
+        the dual-quadric corner math (the visual BA residual, so the gap
+        observed-vs-predicted IS the current bbox residual);
+      - visual features observed within ``feature_validity_window`` frames
+        (yellow dots) and, optionally, their reprojections through the
+        current pose/point estimates (cyan dots) — the feature-residual
+        overlay from RosVisualization's publishLatestImageWithReprojection.
+
+    ``image_provider(frame_id, cam_id) -> np.ndarray | PIL.Image | None``
+    supplies real camera images when available; otherwise a neutral canvas of
+    ``img_heights_and_widths`` is used.
+    """
+
+    def __init__(
+        self,
+        output_directory: str,
+        config: SaveToFileVisualizerConfig = None,
+        image_provider=None,
+        img_heights_and_widths: Optional[Dict[int, tuple]] = None,
+    ):
+        self.out_dir = output_directory
+        self.config = config or SaveToFileVisualizerConfig()
+        self.image_provider = image_provider
+        self.img_hw = img_heights_and_widths or {}
+        self.colors = _bb_color_table()
+        if output_directory:
+            os.makedirs(output_directory, exist_ok=True)
+
+    # -- drawing helpers ----------------------------------------------------
+    def _canvas(self, frame_id, cam_id):
+        from PIL import Image
+
+        img = None
+        if self.image_provider is not None:
+            img = self.image_provider(frame_id, cam_id)
+        if img is not None:
+            arr = np.asarray(img)
+            if arr.ndim == 2:
+                arr = np.stack([arr] * 3, axis=-1)
+            return Image.fromarray(arr.astype(np.uint8), "RGB")
+        h, w = self.img_hw.get(cam_id, (480, 640))
+        return Image.new("RGB", (int(w), int(h)), (40, 40, 40))
+
+    @staticmethod
+    def _draw_box(draw, corners, color, label=None, width=2):
+        x_min, x_max, y_min, y_max = [float(c) for c in corners]
+        if x_max < x_min or y_max < y_min:
+            return
+        draw.rectangle([x_min, y_min, x_max, y_max], outline=color, width=width)
+        if label is not None:
+            draw.text((x_min + 2, y_min + 2), str(label), fill=color)
+
+    def _inflate(self, corners):
+        d = self.config.bounding_box_inflation_size / 2.0
+        return [corners[0] - d, corners[1] + d, corners[2] - d, corners[3] + d]
+
+    # -- main hook ------------------------------------------------------
+    def bounding_box_front_end_visualization(
+        self, pg, bb_frontend, frame_id, draw_feature_reprojections: bool = True
+    ):
+        """Render and save one debug image per camera seen at ``frame_id``."""
+        if not self.out_dir:
+            return []
+        from PIL import ImageDraw
+
+        from obvi_slam_tpu import geometry as geo
+
+        cam_ids = set()
+        assoc = []  # (cam, corners, obj_id)
+        for f in pg.object_observations:
+            if f.frame_id == frame_id:
+                cam_ids.add(f.camera_id)
+                assoc.append((f.camera_id, f.corners, f.object_id))
+        pending = []  # (cam, corners)
+        if bb_frontend is not None:
+            for pend in getattr(bb_frontend, "pending", []):
+                for obs in pend.observations:
+                    if obs.frame_id == frame_id:
+                        cam_ids.add(obs.camera_id)
+                        pending.append((obs.camera_id, obs.corners))
+        feats = []  # (cam, pixel, feature_id)
+        lo = frame_id - self.config.feature_validity_window
+        for fac_idx in pg.visual_factors_by_frame.get(frame_id, []):
+            f = pg.visual_factors[fac_idx]
+            if f.frame_id >= lo:
+                cam_ids.add(f.camera_id)
+                feats.append((f.camera_id, f.pixel, f.feature_id))
+        if not cam_ids:
+            return []
+
+        pose = pg.get_robot_pose(frame_id)
+        paths = []
+        for cam_id in sorted(cam_ids):
+            img = self._canvas(frame_id, cam_id)
+            draw = ImageDraw.Draw(img)
+            cam = pg.cameras[cam_id]
+            k = cam.intrinsics
+            # Predicted bbs from current ellipsoid estimates.
+            if pose is not None:
+                cam_from_robot_r = cam.extrinsics_r.T
+                cam_from_robot_t = -cam.extrinsics_r.T @ cam.extrinsics_t
+                for obj_id, node in pg.objects.items():
+                    corners_rect, valid = geo.ellipsoid_corners_rectified(
+                        node.ellipsoid, np.asarray(pose),
+                        cam_from_robot_r, cam_from_robot_t,
+                    )
+                    if not bool(valid):
+                        continue
+                    cr = np.asarray(corners_rect)
+                    px = [
+                        k[0, 0] * cr[0] + k[0, 2], k[0, 0] * cr[1] + k[0, 2],
+                        k[1, 1] * cr[2] + k[1, 2], k[1, 1] * cr[3] + k[1, 2],
+                    ]
+                    if px[1] < 0 or px[0] > img.width or px[3] < 0 or px[2] > img.height:
+                        continue
+                    self._draw_box(
+                        draw, px, self.colors["predicted"], label=f"p{obj_id}", width=1
+                    )
+            for cam, corners, obj_id in assoc:
+                if cam != cam_id:
+                    continue
+                self._draw_box(draw, corners, self.colors["associated"], label=obj_id)
+                if self.config.bounding_box_inflation_size > 0:
+                    self._draw_box(
+                        draw, self._inflate(corners),
+                        self.colors["associated_inflated"], width=1,
+                    )
+            for cam, corners in pending:
+                if cam != cam_id:
+                    continue
+                self._draw_box(draw, corners, self.colors["pending"])
+                if self.config.bounding_box_inflation_size > 0:
+                    self._draw_box(
+                        draw, self._inflate(corners),
+                        self.colors["pending_inflated"], width=1,
+                    )
+            for cam, pixel, feat_id in feats:
+                if cam != cam_id:
+                    continue
+                x, y = float(pixel[0]), float(pixel[1])
+                draw.ellipse([x - 2, y - 2, x + 2, y + 2], fill=self.colors["feature"])
+                if draw_feature_reprojections and pose is not None:
+                    pt = pg.features.get(feat_id)
+                    if pt is None:
+                        continue
+                    cam_from_robot_r = pg.cameras[cam_id].extrinsics_r.T
+                    cam_from_robot_t = (
+                        -pg.cameras[cam_id].extrinsics_r.T @ pg.cameras[cam_id].extrinsics_t
+                    )
+                    xy, depth = geo.project_point_rectified(
+                        np.asarray(pose), np.asarray(pt),
+                        cam_from_robot_r, cam_from_robot_t,
+                    )
+                    if float(depth) <= 0:
+                        continue
+                    rx = float(k[0, 0] * xy[0] + k[0, 2])
+                    ry = float(k[1, 1] * xy[1] + k[1, 2])
+                    draw.ellipse(
+                        [rx - 2, ry - 2, rx + 2, ry + 2],
+                        outline=self.colors["feature_reproj"],
+                    )
+                    draw.line([x, y, rx, ry], fill=self.colors["feature_reproj"])
+            path = os.path.join(
+                self.out_dir, f"bb_assoc_frame_{frame_id:06d}_cam_{cam_id}.png"
+            )
+            img.save(path)
+            paths.append(path)
+        return paths

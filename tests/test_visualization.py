@@ -42,3 +42,52 @@ def test_feature_cloud(tmp_path):
     p = tmp_path / "cloud.png"
     viz.plot_feature_cloud(str(p), rng.normal(size=(100, 3)), np.zeros((5, 6)))
     assert p.exists()
+
+
+def test_save_to_file_visualizer(tmp_path):
+    """SaveToFileVisualizer (save_to_file_visualizer.h equivalent): dumps a
+    per-camera debug image with associated/pending/predicted boxes and
+    feature (re)projections drawn on it."""
+    from obvi_slam_tpu.pose_graph import CameraInfo, PoseGraph
+
+    K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+    pg = PoseGraph({1: CameraInfo(K, np.eye(3), np.zeros(3))})
+    pg.shape_mean_and_cov_by_class = {
+        "chair": (np.array([0.6, 0.6, 1.0]), np.eye(3) * 0.1)
+    }
+    pg.add_frame(0, np.zeros(6))
+    pg.add_feature(7, np.array([0.5, 0.2, 8.0]))
+    pg.add_visual_factor(0, 1, 7, np.array([352.0, 252.0]), 1.3)
+    obj_id = pg.add_new_ellipsoid(
+        np.array([1.0, 0.3, 7.0, 0.0, 0.6, 0.6, 1.0]), "chair"
+    )
+    pg.add_object_observation(
+        obj_id, 0, 1, np.array([330.0, 420.0, 220.0, 330.0]), np.eye(4) * 900.0
+    )
+
+    class FakePending:
+        class Obs:
+            frame_id, camera_id = 0, 1
+            corners = np.array([100.0, 160.0, 100.0, 180.0])
+
+        observations = [Obs()]
+
+    class FakeFrontend:
+        pending = [FakePending()]
+
+    v = viz.SaveToFileVisualizer(
+        str(tmp_path),
+        viz.SaveToFileVisualizerConfig(bounding_box_inflation_size=10.0),
+        img_heights_and_widths={1: (480, 640)},
+    )
+    paths = v.bounding_box_front_end_visualization(pg, FakeFrontend(), 0)
+    assert len(paths) == 1
+    from PIL import Image
+
+    img = np.asarray(Image.open(paths[0]))
+    assert img.shape == (480, 640, 3)
+    # Something got drawn in every color family: red associated box, purple
+    # pending box, green predicted box, yellow feature dot.
+    flat = img.reshape(-1, 3)
+    for color in ((255, 0, 0), (186, 0, 247), (0, 200, 0), (255, 255, 0)):
+        assert (flat == np.array(color)).all(axis=1).any(), color
