@@ -176,10 +176,14 @@ def main(argv=None):
             SaveToFileVisualizerConfig,
         )
 
+        # Both knobs come from feature_based_bb_association_params, matching
+        # the reference's wiring (offline_object_visual_slam_main.cpp:823-832).
+        fe_params = config.feature_based_bb_association_params
         save_to_file_viz = SaveToFileVisualizer(
             args.debug_images_output_directory,
             SaveToFileVisualizerConfig(
-                bounding_box_inflation_size=config.feature_based_bb_association_params.bounding_box_inflation_size
+                feature_validity_window=fe_params.feature_validity_window,
+                bounding_box_inflation_size=fe_params.bounding_box_inflation_size,
             ),
             img_heights_and_widths=img_hw,
         )
@@ -203,7 +207,13 @@ def main(argv=None):
     if args.shard_devices > 1:
         from obvi_slam_tpu.parallel.sharding import make_mesh
 
-        mesh = make_mesh(jax.devices()[: args.shard_devices])
+        devices = jax.devices()
+        if args.shard_devices > len(devices):
+            raise SystemExit(
+                f"--shard_devices {args.shard_devices} exceeds the "
+                f"{len(devices)} available jax devices"
+            )
+        mesh = make_mesh(devices[: args.shard_devices])
     runner = OfflineProblemRunner(
         config,
         hooks,

@@ -245,7 +245,9 @@ class SaveToFileVisualizer:
             draw.text((x_min + 2, y_min + 2), str(label), fill=color)
 
     def _inflate(self, corners):
-        d = self.config.bounding_box_inflation_size / 2.0
+        # Full inflation_size per side, matching inflateBoundingBox
+        # (ellipsoid_utils.h:354-361) and the frontend's association region.
+        d = self.config.bounding_box_inflation_size
         return [corners[0] - d, corners[1] + d, corners[2] - d, corners[3] + d]
 
     # -- main hook ------------------------------------------------------
@@ -273,29 +275,39 @@ class SaveToFileVisualizer:
                         cam_ids.add(obs.camera_id)
                         pending.append((obs.camera_id, obs.corners))
         feats = []  # (cam, pixel, feature_id)
-        lo = frame_id - self.config.feature_validity_window
-        for fac_idx in pg.visual_factors_by_frame.get(frame_id, []):
-            f = pg.visual_factors[fac_idx]
-            if f.frame_id >= lo:
+        lo = max(0, frame_id - self.config.feature_validity_window)
+        for past_frame in range(lo, frame_id + 1):
+            for fac_idx in pg.visual_factors_by_frame.get(past_frame, []):
+                f = pg.visual_factors[fac_idx]
                 cam_ids.add(f.camera_id)
                 feats.append((f.camera_id, f.pixel, f.feature_id))
         if not cam_ids:
             return []
 
         pose = pg.get_robot_pose(frame_id)
+        pose_arr = None if pose is None else np.asarray(pose)
         paths = []
         for cam_id in sorted(cam_ids):
             img = self._canvas(frame_id, cam_id)
             draw = ImageDraw.Draw(img)
-            cam = pg.cameras[cam_id]
-            k = cam.intrinsics
+            cam_info = pg.cameras[cam_id]
+            k = cam_info.intrinsics
+            cam_from_robot_r = cam_info.extrinsics_r.T
+            cam_from_robot_t = -cam_info.extrinsics_r.T @ cam_info.extrinsics_t
             # Predicted bbs from current ellipsoid estimates.
-            if pose is not None:
-                cam_from_robot_r = cam.extrinsics_r.T
-                cam_from_robot_t = -cam.extrinsics_r.T @ cam.extrinsics_t
+            if pose_arr is not None:
                 for obj_id, node in pg.objects.items():
+                    # Cheirality: the corner math is sign-symmetric, so an
+                    # ellipsoid BEHIND the camera yields a finite mirrored
+                    # box — gate on the center's camera-frame depth.
+                    _, center_depth = geo.project_point_rectified(
+                        pose_arr, np.asarray(node.ellipsoid[:3]),
+                        cam_from_robot_r, cam_from_robot_t,
+                    )
+                    if float(center_depth) <= 0:
+                        continue
                     corners_rect, valid = geo.ellipsoid_corners_rectified(
-                        node.ellipsoid, np.asarray(pose),
+                        node.ellipsoid, pose_arr,
                         cam_from_robot_r, cam_from_robot_t,
                     )
                     if not bool(valid):
@@ -310,8 +322,8 @@ class SaveToFileVisualizer:
                     self._draw_box(
                         draw, px, self.colors["predicted"], label=f"p{obj_id}", width=1
                     )
-            for cam, corners, obj_id in assoc:
-                if cam != cam_id:
+            for bb_cam_id, corners, obj_id in assoc:
+                if bb_cam_id != cam_id:
                     continue
                 self._draw_box(draw, corners, self.colors["associated"], label=obj_id)
                 if self.config.bounding_box_inflation_size > 0:
@@ -319,8 +331,8 @@ class SaveToFileVisualizer:
                         draw, self._inflate(corners),
                         self.colors["associated_inflated"], width=1,
                     )
-            for cam, corners in pending:
-                if cam != cam_id:
+            for bb_cam_id, corners in pending:
+                if bb_cam_id != cam_id:
                     continue
                 self._draw_box(draw, corners, self.colors["pending"])
                 if self.config.bounding_box_inflation_size > 0:
@@ -328,21 +340,17 @@ class SaveToFileVisualizer:
                         draw, self._inflate(corners),
                         self.colors["pending_inflated"], width=1,
                     )
-            for cam, pixel, feat_id in feats:
-                if cam != cam_id:
+            for feat_cam_id, pixel, feat_id in feats:
+                if feat_cam_id != cam_id:
                     continue
                 x, y = float(pixel[0]), float(pixel[1])
                 draw.ellipse([x - 2, y - 2, x + 2, y + 2], fill=self.colors["feature"])
-                if draw_feature_reprojections and pose is not None:
+                if draw_feature_reprojections and pose_arr is not None:
                     pt = pg.features.get(feat_id)
                     if pt is None:
                         continue
-                    cam_from_robot_r = pg.cameras[cam_id].extrinsics_r.T
-                    cam_from_robot_t = (
-                        -pg.cameras[cam_id].extrinsics_r.T @ pg.cameras[cam_id].extrinsics_t
-                    )
                     xy, depth = geo.project_point_rectified(
-                        np.asarray(pose), np.asarray(pt),
+                        pose_arr, np.asarray(pt),
                         cam_from_robot_r, cam_from_robot_t,
                     )
                     if float(depth) <= 0:

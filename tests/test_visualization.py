@@ -91,3 +91,63 @@ def test_save_to_file_visualizer(tmp_path):
     flat = img.reshape(-1, 3)
     for color in ((255, 0, 0), (186, 0, 247), (0, 200, 0), (255, 255, 0)):
         assert (flat == np.array(color)).all(axis=1).any(), color
+    # Inflated associated box uses the FULL inflation per side (matching
+    # inflateBoundingBox, ellipsoid_utils.h:354-361): brightened-red pixels
+    # at exactly x_min - inflation.
+    bright_red = np.array([255, 76, 76])
+    xs = np.where((img == bright_red).all(axis=2))[1]
+    assert xs.size and xs.min() in (319, 320, 321), xs.min()  # 330 - 10
+
+
+def test_save_to_file_visualizer_behind_camera(tmp_path):
+    """An ellipsoid behind the camera must NOT render a mirrored predicted
+    box (the dual-quadric corner math is sign-symmetric; the visualizer
+    gates on center depth)."""
+    from obvi_slam_tpu.pose_graph import CameraInfo, PoseGraph
+
+    K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+    pg = PoseGraph({1: CameraInfo(K, np.eye(3), np.zeros(3))})
+    pg.shape_mean_and_cov_by_class = {
+        "chair": (np.array([0.6, 0.6, 1.0]), np.eye(3) * 0.1)
+    }
+    pg.add_frame(0, np.zeros(6))
+    pg.add_feature(3, np.array([0.0, 0.0, 8.0]))
+    pg.add_visual_factor(0, 1, 3, np.array([320.0, 240.0]), 1.3)
+    pg.add_new_ellipsoid(np.array([0.0, 0.0, -7.0, 0.0, 0.6, 0.6, 1.0]), "chair")
+
+    v = viz.SaveToFileVisualizer(str(tmp_path), img_heights_and_widths={1: (480, 640)})
+    paths = v.bounding_box_front_end_visualization(pg, None, 0)
+    from PIL import Image
+
+    img = np.asarray(Image.open(paths[0]))
+    assert not (img.reshape(-1, 3) == np.array([0, 200, 0])).all(axis=1).any()
+
+
+def test_save_to_file_visualizer_feature_validity_window(tmp_path):
+    """Features observed within the validity window (past frames) are drawn;
+    those outside it are not."""
+    from obvi_slam_tpu.pose_graph import CameraInfo, PoseGraph
+
+    K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+    pg = PoseGraph({1: CameraInfo(K, np.eye(3), np.zeros(3))})
+    for i in range(6):
+        pg.add_frame(i, np.zeros(6))
+    pg.add_feature(1, np.array([0.0, 0.0, 8.0]))
+    pg.add_visual_factor(0, 1, 1, np.array([100.0, 100.0]), 1.3)  # old
+    pg.add_visual_factor(4, 1, 1, np.array([200.0, 200.0]), 1.3)  # in window
+
+    v = viz.SaveToFileVisualizer(
+        str(tmp_path),
+        viz.SaveToFileVisualizerConfig(feature_validity_window=2),
+        img_heights_and_widths={1: (480, 640)},
+    )
+    paths = v.bounding_box_front_end_visualization(
+        pg, None, 5, draw_feature_reprojections=False
+    )
+    from PIL import Image
+
+    img = np.asarray(Image.open(paths[0]))
+    yellow = (img.reshape(-1, 3) == np.array([255, 255, 0])).all(axis=1)
+    ys, xs = np.where((img == np.array([255, 255, 0])).all(axis=2))
+    assert xs.size
+    assert (np.abs(xs - 200) <= 3).all(), (xs.min(), xs.max())  # only the in-window dot
