@@ -353,3 +353,65 @@ class TestCapsPool:
             )
 
         np.testing.assert_allclose(cost(big), cost(free_build), rtol=1e-9)
+
+
+class TestColumnarMirrors:
+    """PoseGraph's struct-of-arrays factor mirrors must stay in sync with
+    the object stores through incremental growth and object merges."""
+
+    def _pg(self):
+        from obvi_slam_tpu.pose_graph import CameraInfo, PoseGraph
+
+        K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+        pg = PoseGraph(
+            {1: CameraInfo(K, np.eye(3), np.zeros(3))},
+            {"chair": (np.array([0.6, 0.6, 1.0]), np.eye(3) * 0.1)},
+        )
+        pg.add_frame(0, np.zeros(6))
+        pg.add_frame(1, np.ones(6) * 0.1)
+        return pg
+
+    def test_incremental_extension(self):
+        pg = self._pg()
+        pg.add_feature(5, np.array([0.0, 0.0, 8.0]))
+        pg.add_visual_factor(0, 1, 5, [10.0, 20.0], 1.3)
+        c1 = pg.visual_factor_columns()
+        assert c1["feature_id"].tolist() == [5]
+        # add more AFTER materialization; columns must extend
+        pg.add_visual_factor(1, 1, 5, [11.0, 21.0], 1.5)
+        c2 = pg.visual_factor_columns()
+        assert c2["frame_id"].tolist() == [0, 1]
+        assert c2["pixel"][1].tolist() == [11.0, 21.0]
+        assert c2["std"].tolist() == [1.3, 1.5]
+        # earlier view is unaffected in its range
+        np.testing.assert_array_equal(c1["feature_id"], [5])
+
+    def test_merge_syncs_object_ids_and_tombstones(self):
+        pg = self._pg()
+        a = pg.add_new_ellipsoid(np.array([1, 0, 7, 0, 0.6, 0.6, 1.0]), "chair")
+        b = pg.add_new_ellipsoid(np.array([1.1, 0, 7, 0, 0.6, 0.6, 1.0]), "chair")
+        pg.add_object_observation(a, 0, 1, np.array([1.0, 2, 3, 4]), np.eye(4) * 900)
+        pg.add_object_observation(b, 1, 1, np.array([5.0, 6, 7, 8]), np.eye(4) * 900)
+        # materialize BEFORE the merge; the mirror must be updated in place
+        oo = pg.object_observation_columns()
+        sp = pg.shape_prior_columns()
+        assert oo["object_id"].tolist() == [a, b]
+        assert sp["object_id"].tolist() == [a, b]
+        pg.merge_objects(b, a)
+        oo = pg.object_observation_columns()
+        sp = pg.shape_prior_columns()
+        assert oo["object_id"].tolist() == [a, a]
+        assert sp["object_id"].tolist() == [a, -1]  # tombstoned prior
+
+    def test_sqrt_inf_cached_matches_scipy(self):
+        import scipy.linalg
+
+        from obvi_slam_tpu.pose_graph import batched_sqrt_inf
+
+        rng = np.random.default_rng(5)
+        m = rng.normal(size=(6, 4, 4))
+        covs = m @ np.swapaxes(m, 1, 2) + np.eye(4) * 0.5
+        batched = batched_sqrt_inf(covs)
+        for i in range(len(covs)):
+            ref = np.real(scipy.linalg.sqrtm(np.linalg.inv(covs[i])))
+            np.testing.assert_allclose(batched[i], ref, rtol=1e-9, atol=1e-12)
