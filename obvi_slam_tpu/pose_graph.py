@@ -110,7 +110,12 @@ def batched_sqrt_inf(covs: np.ndarray) -> np.ndarray:
     if covs.size == 0:
         return covs
     w, v = np.linalg.eigh(covs)
-    w = np.maximum(w, np.finfo(np.float64).tiny)
+    if np.any(w <= 0):
+        bad = np.nonzero(np.any(w <= 0, axis=-1))[0]
+        raise np.linalg.LinAlgError(
+            f"singular/indefinite covariance at batch rows {bad[:10].tolist()} "
+            f"(min eigenvalue {w.min():.3e})"
+        )
     return np.einsum("...ij,...j,...kj->...ik", v, 1.0 / np.sqrt(w), v)
 
 
@@ -324,6 +329,18 @@ class PoseGraph:
     }
 
     @staticmethod
+    def _readonly_views(cols, n):
+        """Length-exact, non-writable views: the mirrors are shared caches —
+        a caller mutating a returned column would corrupt every later
+        build_problem in the session."""
+        out = {}
+        for k, v in cols.items():
+            view = v[:n]
+            view.flags.writeable = False
+            out[k] = view
+        return out
+
+    @staticmethod
     def _seed_cols(cols, schema_key):
         if not cols:
             for name, (dt, shape) in PoseGraph._COLUMN_SCHEMAS[schema_key].items():
@@ -371,7 +388,7 @@ class PoseGraph:
         self._seed_cols(self._vf_cols, "vf")
         self._extend_cols(self._vf_cols, n_old, n_new, make_rows)
         self._vf_cols_len = n_new
-        return {k: v[:n_new] for k, v in self._vf_cols.items()}
+        return self._readonly_views(self._vf_cols, n_new)
 
     def object_observation_columns(self) -> Dict[str, np.ndarray]:
         """Columns over ALL object-observation factors: frame_id, camera_id,
@@ -399,7 +416,7 @@ class PoseGraph:
         self._seed_cols(self._oo_cols, "oo")
         self._extend_cols(self._oo_cols, n_old, n_new, make_rows)
         self._oo_cols_len = n_new
-        return {k: v[:n_new] for k, v in self._oo_cols.items()}
+        return self._readonly_views(self._oo_cols, n_new)
 
     def relpose_factor_columns(self) -> Dict[str, np.ndarray]:
         """before/after (int64), rel_t (N,3), rel_r (N,3,3) rotation matrices,
@@ -426,7 +443,7 @@ class PoseGraph:
         self._seed_cols(self._rl_cols, "rl")
         self._extend_cols(self._rl_cols, n_old, n_new, make_rows)
         self._rl_cols_len = n_new
-        return {k: v[:n_new] for k, v in self._rl_cols.items()}
+        return self._readonly_views(self._rl_cols, n_new)
 
     def shape_prior_columns(self) -> Dict[str, np.ndarray]:
         """object_id (int64, -1 for merge-tombstoned entries), mean (N,3),
@@ -452,7 +469,7 @@ class PoseGraph:
         self._seed_cols(self._sp_cols, "sp")
         self._extend_cols(self._sp_cols, n_old, n_new, make_rows)
         self._sp_cols_len = n_new
-        return {k: v[:n_new] for k, v in self._sp_cols.items()}
+        return self._readonly_views(self._sp_cols, n_new)
 
     def ltm_factor_columns(self) -> Dict[str, np.ndarray]:
         """object_id (int64), mean (N,7), sqrt_inf (N,7,7)."""
@@ -475,7 +492,7 @@ class PoseGraph:
         self._seed_cols(self._lt_cols, "lt")
         self._extend_cols(self._lt_cols, n_old, n_new, make_rows)
         self._lt_cols_len = n_new
-        return {k: v[:n_new] for k, v in self._lt_cols.items()}
+        return self._readonly_views(self._lt_cols, n_new)
 
     # -- queries used by the problem builder -------------------------------
     def visual_factor_ids_in_window(self, min_frame, max_frame) -> List[int]:

@@ -29,12 +29,12 @@ from typing import Dict, List, Optional, Set, Tuple
 
 import jax.numpy as jnp
 import numpy as np
-import scipy.linalg
 from scipy.spatial.transform import Rotation
 
 from obvi_slam_tpu import types as T
 from obvi_slam_tpu.pose_graph import (
     OBJECT_OBSERVATION_FACTOR,
+    batched_sqrt_inf,
     RELATIVE_POSE_FACTOR,
     REPROJECTION_FACTOR,
     SHAPE_PRIOR_FACTOR,
@@ -67,13 +67,6 @@ def _bucket(n: int, minimum=16) -> int:
     """Next power of two >= n, for jit-signature stability."""
     n = max(n, minimum)
     return 1 << (n - 1).bit_length()
-
-
-def _sqrt_inf(cov: np.ndarray) -> np.ndarray:
-    """cov^-1 principal square root (Eigen cov.inverse().sqrt())."""
-    inv = np.linalg.inv(cov)
-    s = scipy.linalg.sqrtm(inv)
-    return np.real(s)
 
 
 @dataclass
@@ -192,7 +185,13 @@ def compute_inclusion_weights(
         uniq_obj, obj_inv = np.unique(bb_obj, return_inverse=True)
         obj_count = np.bincount(obj_inv[bb_w > 0], minlength=len(uniq_obj))
         is_ltm = np.array([o in pg.ltm_object_ids for o in uniq_obj])
-        obj_included = (obj_count >= scope.min_object_observations) | is_ltm
+        # An object needs >= 1 LIVE observation to be included at all (the
+        # reference counts only live factors; an LTM object whose every
+        # observation was excluded as an outlier must NOT be optimized
+        # against its priors alone).
+        obj_included = ((obj_count >= scope.min_object_observations) | is_ltm) & (
+            obj_count > 0
+        )
         included_objects = set(uniq_obj[obj_included].tolist())
         bb_w[(bb_w > 0) & ~obj_included[obj_inv]] = 0.0
     if not scope.include_object_factors:
@@ -337,10 +336,36 @@ def build_problem(
     frames_arr = np.asarray(frames, dtype=np.int64)
     feat_arr = np.asarray(feat_ids, dtype=np.int64)
     obj_arr = np.asarray(obj_ids, dtype=np.int64)
-    cam_ids_sorted = np.asarray(sorted(pg.cameras), dtype=np.int64)
+    # Single source of truth for camera-row order: the bundle's own id map
+    # (sorted ids, so searchsorted below is valid).
+    cam_ids_sorted = np.fromiter(
+        (c for c, _ in sorted(cam_idx_map.items(), key=lambda kv: kv[1])),
+        dtype=np.int64,
+        count=len(cam_idx_map),
+    )
 
     def rows_of(sorted_ids, ids):
-        return np.searchsorted(sorted_ids, ids).astype(np.int64)
+        """Dict-lookup replacement; membership-checked so a factor that
+        references a missing pose/feature/object/camera fails loudly at
+        build time (like the old per-factor dict KeyError) instead of
+        silently indexing a wrong row."""
+        ids = np.asarray(ids)
+        if len(ids) == 0:
+            return np.zeros(0, dtype=np.int64)
+        if len(sorted_ids) == 0:
+            raise KeyError(
+                f"factors reference ids {np.unique(ids)[:10].tolist()} but the "
+                "window has no rows of that kind"
+            )
+        idx = np.searchsorted(sorted_ids, ids)
+        clipped = np.minimum(idx, len(sorted_ids) - 1)
+        bad = sorted_ids[clipped] != ids
+        if bad.any():
+            raise KeyError(
+                f"factor references ids absent from the window tables: "
+                f"{np.unique(ids[bad])[:10].tolist()}"
+            )
+        return idx.astype(np.int64)
 
     # --- reprojection table ------------------------------------------------
     fx = np.asarray(cams.fx)
@@ -413,8 +438,6 @@ def build_problem(
             if len(rel)
             else np.zeros((0, 3, 3))
         )
-        from obvi_slam_tpu.pose_graph import batched_sqrt_inf
-
         rl_si = batched_sqrt_inf(covs)
     else:
         rl_cols = pg.relpose_factor_columns()

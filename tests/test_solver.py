@@ -415,3 +415,69 @@ class TestColumnarMirrors:
         for i in range(len(covs)):
             ref = np.real(scipy.linalg.sqrtm(np.linalg.inv(covs[i])))
             np.testing.assert_allclose(batched[i], ref, rtol=1e-9, atol=1e-12)
+
+
+class TestInclusionRules:
+    def test_ltm_object_with_all_observations_excluded_is_dropped(self):
+        """Reference selection: an object (even LTM) needs >= 1 LIVE
+        observation in the window; excluding all its bbox factors as
+        outliers must also drop its shape/LTM priors (phase 2 must not
+        optimize the object against priors alone)."""
+        from obvi_slam_tpu.pose_graph import (
+            OBJECT_OBSERVATION_FACTOR,
+            CameraInfo,
+            PoseGraph,
+        )
+        from obvi_slam_tpu.solver.problem import (
+            Scope,
+            build_problem,
+            reweight_for_exclusions,
+        )
+
+        K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+        pg = PoseGraph(
+            {1: CameraInfo(K, np.eye(3), np.zeros(3))},
+            {"chair": (np.array([0.6, 0.6, 1.0]), np.eye(3) * 0.1)},
+        )
+        for i in range(3):
+            pg.add_frame(i, np.array([0.3 * i, 0, 0, 0, 0, 0.0]))
+            if i:
+                pg.add_pose_factor(i - 1, i, np.array([0.3, 0, 0, 0, 0, 0.0]), np.eye(6) * 1e-4)
+        obj = 7
+        pg.add_ltm_object(obj, np.array([1.0, 0, 7, 0, 0.6, 0.6, 1.0]), "chair")
+        pg.add_ltm_factor(obj, np.array([1.0, 0, 7, 0, 0.6, 0.6, 1.0]), np.eye(7) * 0.01)
+        fids = [
+            pg.add_object_observation(obj, i, 1, np.array([300.0, 340, 220, 260]), np.eye(4) * 900)
+            for i in range(3)
+        ]
+        scope = Scope(0, 2, min_object_observations=1)
+        problem = build_problem(pg, scope, None)
+        # live without exclusions
+        assert float(np.asarray(problem.weights.ltm).max()) == 1.0
+        excluded = {(OBJECT_OBSERVATION_FACTOR, f) for f in fids}
+        w2 = reweight_for_exclusions(pg, problem, excluded)
+        assert float(np.asarray(w2.bbox).max()) == 0.0
+        assert float(np.asarray(w2.ltm).max()) == 0.0
+        assert float(np.asarray(w2.shape).max()) == 0.0
+
+    def test_missing_id_fails_loudly(self):
+        """A factor referencing a frame with no pose node must raise at
+        build time, not silently index a wrong row."""
+        from obvi_slam_tpu.pose_graph import CameraInfo, PoseGraph
+        from obvi_slam_tpu.solver.problem import Scope, build_problem
+
+        K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+        pg = PoseGraph({1: CameraInfo(K, np.eye(3), np.zeros(3))})
+        pg.add_frame(0, np.zeros(6))
+        pg.add_frame(1, np.zeros(6))
+        pg.add_feature(3, np.array([0.0, 0, 8.0]))
+        pg.add_visual_factor(0, 1, 3, [320.0, 240.0], 1.3)
+        pg.add_visual_factor(1, 1, 3, [321.0, 240.0], 1.3)
+        # Factor for frame 2, which has NO pose node.
+        pg.add_visual_factor(2, 1, 3, [322.0, 240.0], 1.3)
+        del pg.robot_poses[1]  # shrink window below the factor's frame range
+        pg.add_frame(1, np.zeros(6))
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError):
+            build_problem(pg, Scope(0, 2), None)
