@@ -1,0 +1,126 @@
+"""End-to-end throughput bench: the TUM fr2_pioneer_360 minimum slice
+(BASELINE.md workload) through the full runner — frontend, sliding-window +
+global BA with two-phase outlier rejection — reporting frames/s and the
+per-phase breakdown with the reference's timer names.
+
+Runs on whatever backend jax resolves (TPU via the tunnel when up; pass
+--platform cpu to force CPU). Complements bench.py (pure solver LM iters/s):
+this measures the whole pipeline including host-side build and frontend.
+
+Usage: python tools/bench_e2e.py [--frames 40] [--platform cpu] [--f64]
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tests"))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--frames", type=int, default=40)
+    parser.add_argument("--platform", default="")
+    parser.add_argument("--f64", action="store_true")
+    parser.add_argument("--fused_solver", choices=("auto", "on", "off"), default="auto")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+
+    import numpy as np
+    from scipy.spatial.transform import Rotation
+
+    import test_tum_fixture as T
+    from obvi_slam_tpu import timing
+    from obvi_slam_tpu.frontend import VisualFeatureFrontend
+    from obvi_slam_tpu.io.readers import read_tum_consecutive_matching
+    from obvi_slam_tpu.offline_data import OfflineProblemData
+    from obvi_slam_tpu.pose_graph import CameraInfo, PoseGraph
+    from obvi_slam_tpu.runner import OfflineProblemRunner
+
+    gt_poses, tracks, _ = read_tum_consecutive_matching(
+        T.TUM_DIR, max_frames=args.frames
+    )
+    cameras = {1: CameraInfo(T.K, np.eye(3), np.zeros(3))}
+    k_inv = np.linalg.inv(T.K)
+    rng = np.random.default_rng(17)
+    init_poses = {0: gt_poses[0].copy()}
+    for i in range(1, len(gt_poses)):
+        rp = Rotation.from_rotvec(gt_poses[i - 1][3:]).as_matrix()
+        rc = Rotation.from_rotvec(gt_poses[i][3:]).as_matrix()
+        rel_t = rp.T @ (gt_poses[i][:3] - gt_poses[i - 1][:3]) + rng.normal(size=3) * 0.02
+        rel_w = Rotation.from_matrix(rp.T @ rc).as_rotvec() + rng.normal(size=3) * 0.006
+        rpi = Rotation.from_rotvec(init_poses[i - 1][3:]).as_matrix()
+        init_poses[i] = np.concatenate(
+            [
+                rpi @ rel_t + init_poses[i - 1][:3],
+                Rotation.from_matrix(
+                    rpi @ Rotation.from_rotvec(rel_w).as_matrix()
+                ).as_rotvec(),
+            ]
+        )
+    feature_init, usable = {}, {}
+    for f, t in tracks.items():
+        if len(t) < 3:
+            continue
+        x = T.triangulate(t, gt_poses, k_inv)
+        fr0 = min(t)
+        rw = Rotation.from_rotvec(gt_poses[fr0][3:]).as_matrix()
+        pc = rw.T @ (x - gt_poses[fr0][:3])
+        if 0.3 < pc[2] < 30 and np.linalg.norm(x) < 50:
+            feature_init[f] = x
+            usable[f] = t
+
+    data = OfflineProblemData(
+        cameras=cameras,
+        feature_tracks=usable,
+        feature_init_positions=feature_init,
+        initial_poses=init_poses,
+        bounding_boxes={},
+    )
+    config = T.tum_config()
+    dtype = np.float64 if args.f64 else np.float32
+    runner = OfflineProblemRunner(
+        config,
+        dtype=dtype,
+        use_fused_solver={"auto": None, "on": True, "off": False}[args.fused_solver],
+    )
+    pg = PoseGraph(data.cameras)
+    vf = VisualFeatureFrontend(
+        gba_checker=lambda f: runner._gba_checker(f, data.max_frame_id()),
+        reprojection_error_provider=lambda *a: config.visual_feature_params.reprojection_error_std_dev,
+        inlier_epipolar_err_thresh=config.visual_feature_params.inlier_epipolar_err_thresh,
+        check_past_n_frames=config.visual_feature_params.check_past_n_frames_for_epipolar_err,
+    )
+    t0 = time.perf_counter()
+    ok = runner.run_optimization(data, pg, visual_frontend=vf)
+    wall = time.perf_counter() - t0
+    assert ok
+    n = len(init_poses)
+
+    import obvi_slam_tpu.metrics as M
+
+    gt = np.stack([gt_poses[i] for i in range(n)])
+    est = np.stack([pg.get_robot_pose(i) for i in range(n)])
+    ate = M.ate_for_synced_aligned(M.align_with_ground_truth(gt, est), gt)
+
+    print(timing.TimerRegistry.instance().report())
+    print(
+        f"\nbackend={jax.devices()[0].platform} dtype={np.dtype(dtype).name} "
+        f"fused={args.fused_solver}"
+    )
+    print(
+        f"e2e: {n} frames in {wall:.1f}s = {n / wall:.2f} frames/s | "
+        f"ATE transl RMSE {ate.rmse_transl_err:.4f} m"
+    )
+
+
+if __name__ == "__main__":
+    main()
