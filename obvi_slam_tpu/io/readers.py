@@ -190,6 +190,34 @@ def read_orb_output_directory(
     return tracks, init_positions
 
 
+def read_vslam_set_calibration(directory: str) -> Optional[Tuple[float, float, float, float]]:
+    """(fx, fy, cx, cy) from a fixture's ``calibration/camera_matrix.txt``
+    (shipped with data/vslam_set7 and every vslam_superset1 config dir:
+    one line ``fx fy cx cy``), or None when absent (sets 1-6)."""
+    path = os.path.join(directory, "calibration", "camera_matrix.txt")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        vals = [float(v) for v in f.read().split()[:4]]
+    return tuple(vals)
+
+
+def read_vslam_set_features(directory: str) -> Dict[int, np.ndarray]:
+    """Ground-truth/initial 3-D landmarks from a fixture's
+    ``features/features.txt`` (space-separated ``id x y z`` lines, shipped
+    with vslam_set7 / vslam_superset1)."""
+    path = os.path.join(directory, "features", "features.txt")
+    out: Dict[int, np.ndarray] = {}
+    if not os.path.exists(path):
+        return out
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 4:
+                out[int(parts[0])] = np.array([float(v) for v in parts[1:4]])
+    return out
+
+
 def read_vslam_set(
     directory: str, camera_id: int = 1
 ) -> Tuple[Dict[int, np.ndarray], Dict[int, Dict[int, Dict[int, np.ndarray]]]]:
