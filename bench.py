@@ -171,6 +171,9 @@ def main():
                 "value": round(tpu_ips, 3),
                 "unit": "iter/s",
                 "vs_baseline": round(vs, 3),
+                # Which backend actually ran: "tpu"/"axon" normally; "cpu"
+                # means the tunnel was down and this is the fallback number.
+                "platform": target.platform,
             }
         )
     )
