@@ -26,6 +26,7 @@ from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from obvi_slam_tpu import factors as fac
 from obvi_slam_tpu.solver import schur as schur_mod
@@ -74,6 +75,51 @@ def _jit_step(state, cams, tables, plan, free, weights, radius, huber):
 
 
 @functools.partial(jax.jit, static_argnames=("huber",))
+def _jit_iteration(state, cams, tables, plan, free, weights, radius, huber):
+    """One full LM trial in ONE dispatch: step + candidate state + new cost +
+    norms. The host loop then needs a single device round-trip per iteration
+    (the accept/reject/radius logic stays on host, matching Ceres)."""
+    delta, model_change, grad_max = schur_mod.compute_step(
+        state, cams, tables, plan, free, weights, radius, huber
+    )
+    new_state = BAState(
+        poses=state.poses + delta.poses * free.poses[:, None],
+        points=state.points + delta.points * free.points[:, None],
+        objects=state.objects + delta.objects * free.objects[:, None],
+    )
+    new_cost = fac.total_cost(
+        new_state,
+        cams,
+        tables,
+        huber_reproj=huber.reproj,
+        huber_bbox=huber.bbox,
+        huber_shape=huber.shape,
+        huber_relpose=huber.relpose,
+        huber_ltm=huber.ltm,
+        invalid_error=huber.invalid_ellipse_error,
+        reproj_weight=weights.reproj,
+        bbox_weight=weights.bbox,
+        shape_weight=weights.shape,
+        relpose_weight=weights.relpose,
+        ltm_weight=weights.ltm,
+    )
+    step2 = (
+        jnp.sum(delta.poses**2) + jnp.sum(delta.points**2) + jnp.sum(delta.objects**2)
+    )
+    x2 = jnp.sum(state.poses**2) + jnp.sum(state.points**2) + jnp.sum(state.objects**2)
+    scalars = jnp.stack(
+        [
+            model_change.astype(state.poses.dtype),
+            grad_max.astype(state.poses.dtype),
+            new_cost.astype(state.poses.dtype),
+            jnp.sqrt(step2),
+            jnp.sqrt(x2),
+        ]
+    )
+    return new_state, scalars
+
+
+@functools.partial(jax.jit, static_argnames=("huber",))
 def _jit_cost(state, cams, tables, weights, huber):
     return fac.total_cost(
         state,
@@ -91,24 +137,6 @@ def _jit_cost(state, cams, tables, weights, huber):
         relpose_weight=weights.relpose,
         ltm_weight=weights.ltm,
     )
-
-
-@jax.jit
-def _jit_apply(state, delta, free):
-    return BAState(
-        poses=state.poses + delta.poses * free.poses[:, None],
-        points=state.points + delta.points * free.points[:, None],
-        objects=state.objects + delta.objects * free.objects[:, None],
-    )
-
-
-@jax.jit
-def _jit_norms(state, delta):
-    step2 = (
-        jnp.sum(delta.poses**2) + jnp.sum(delta.points**2) + jnp.sum(delta.objects**2)
-    )
-    x2 = jnp.sum(state.poses**2) + jnp.sum(state.points**2) + jnp.sum(state.objects**2)
-    return jnp.sqrt(step2), jnp.sqrt(x2)
 
 
 def solve(
@@ -145,24 +173,22 @@ def solve(
         return state, summary
 
     for it in range(params.max_num_iterations):
-        delta, model_change, grad_max = _jit_step(
-            state, cams, tables, plan, free, weights, jnp.asarray(radius, state.poses.dtype), huber
+        new_state, scalars = _jit_iteration(
+            state, cams, tables, plan, free, weights,
+            jnp.asarray(radius, state.poses.dtype), huber,
         )
-        grad_max = float(grad_max)
-        model_change = float(model_change)
+        # ONE device->host readback per iteration.
+        model_change, grad_max, new_cost, step_norm, x_norm = map(
+            float, np.asarray(scalars)
+        )
 
         if grad_max <= params.gradient_tolerance:
             summary.termination = "GRADIENT_TOLERANCE"
             break
 
-        new_state = _jit_apply(state, delta, free)
-        step_norm, x_norm = _jit_norms(state, delta)
-        step_norm, x_norm = float(step_norm), float(x_norm)
-
         accepted = False
         cost_change = 0.0
         if model_change > 0:
-            new_cost = float(_jit_cost(new_state, cams, tables, weights, huber))
             cost_change = cost - new_cost
             rho = cost_change / model_change
             relative_decrease = rho
