@@ -108,6 +108,64 @@ def far_feature_ids(pg: PoseGraph, threshold: float):
     return far
 
 
+def find_rank_deficiencies(red_h, state_np, min_col_norm):
+    """Null-space identification on the reduced (poses+objects) Hessian.
+
+    TPU-native counterpart of the reference's SuiteSparseQR rank analysis
+    (``findRankDeficiencies``, long_term_object_map_extraction.cpp:507-760):
+    instead of QR-factoring J^T and reading off deficient columns, we
+    eigendecompose the symmetric reduced Hessian H = J^T J (points already
+    eliminated) and treat eigenvectors of near-zero eigenvalues as the null
+    space. Unlike a per-column norm check, this sees deficiencies that are
+    linear COMBINATIONS of columns (e.g. a pose observed only through one
+    bounding-box factor: every column has healthy norm, but rank(J_block) <
+    #params).
+
+    An eigendirection is deficient when sqrt(lambda) — the effective Jacobian
+    column norm along that direction — is below ``min_col_norm``, or when
+    lambda is numerically zero relative to the spectrum (eigh noise floor).
+    Each participating parameter (|v_i| above 10% of the eigenvector's max)
+    gets a weak scalar prior with the reference's repair strength
+    1/std = sqrt(min_col_norm - col_norm) (extraction.cpp:816-876), floored
+    at sqrt(min_col_norm/2) so numerically-null directions are still lifted.
+
+    Runs on host in f64 (once per session; the device solve dominates
+    extraction time). Returns [(kind_code, row, param_idx, mean, inv_std)].
+    """
+    dim = red_h.shape[0]
+    n_pose = state_np["pose"].shape[0]
+    lam, vec = np.linalg.eigh(0.5 * (red_h + red_h.T))
+    lam_max = float(lam[-1]) if dim else 0.0
+    thr = max(min_col_norm**2, lam_max * 1e-12)
+    deficient = {}
+    for k in range(dim):
+        if lam[k] >= thr:
+            break
+        col_norm = float(np.sqrt(max(lam[k], 0.0)))
+        inv_std = float(
+            np.sqrt(max(min_col_norm - col_norm, 0.5 * min_col_norm))
+        )
+        v = np.abs(vec[:, k])
+        involved = np.nonzero(v > 0.1 * v.max())[0]
+        for idx in involved:
+            idx = int(idx)
+            if idx < n_pose * 6:
+                key = (0, idx // 6, idx % 6)
+                mean = float(state_np["pose"][idx // 6, idx % 6])
+            else:
+                o = idx - n_pose * 6
+                key = (2, o // 7, o % 7)
+                mean = float(state_np["object"][o // 7, o % 7])
+            # Strongest repair wins if a param joins several null directions.
+            prev = deficient.get(key)
+            if prev is None or prev[1] < inv_std:
+                deficient[key] = (mean, inv_std)
+    return [
+        (k[0], k[1], k[2], mean, inv_std)
+        for k, (mean, inv_std) in sorted(deficient.items())
+    ]
+
+
 def extract_long_term_object_map(
     pg: PoseGraph,
     config: cfg.FullOVSLAMConfig,
@@ -169,7 +227,7 @@ def _extract(pg, config, front_end_data, dtype):
 
         weights = weights._replace(reproj=jnp.asarray(rp_w))
 
-    covs, h_diag, ok = slv.schur.compute_marginal_covariances(
+    covs, h_diag, ok, red_h = slv.schur.compute_marginal_covariances(
         problem.state,
         problem.cams,
         problem.tables,
@@ -177,51 +235,30 @@ def _extract(pg, config, front_end_data, dtype):
         problem.free,
         weights,
         problem.huber,
+        return_reduced_hessian=True,
     )
     ok = bool(ok)
 
     min_col_norm = config.ltm_tunable_params.min_col_norm
-    # Rank-deficiency detection: Jacobian column norms (sqrt of H diagonal).
-    col_norms_obj = np.sqrt(np.maximum(np.asarray(h_diag["object"]), 0.0))
-    col_norms_pose = np.sqrt(np.maximum(np.asarray(h_diag["pose"]), 0.0))
-    col_norms_point = np.sqrt(np.maximum(np.asarray(h_diag["point"]), 0.0))
-    free_np = {
-        "pose": np.asarray(problem.free.poses),
-        "point": np.asarray(problem.free.points),
-        "object": np.asarray(problem.free.objects),
-    }
-    deficient = []  # (kind_code, row, param_idx, mean, inv_std)
     state_np = {
         "pose": np.asarray(problem.state.poses),
-        "point": np.asarray(problem.state.points),
         "object": np.asarray(problem.state.objects),
     }
-    for kind_code, kind, norms in (
-        (0, "pose", col_norms_pose),
-        (1, "point", col_norms_point),
-        (2, "object", col_norms_obj),
-    ):
-        rows, cols = np.nonzero(
-            (norms < min_col_norm) & free_np[kind][:, None]
-        )
-        for r, c in zip(rows, cols):
-            inv_std = float(np.sqrt(max(min_col_norm - norms[r, c], 1e-30)))
-            deficient.append(
-                (kind_code, int(r), int(c), float(state_np[kind][r, c]), inv_std)
-            )
+    deficient = find_rank_deficiencies(
+        np.asarray(red_h, np.float64), state_np, min_col_norm
+    )
 
     if (not ok) or deficient:
-        # Repair with weak scalar priors and retry (extraction.cpp:761-922).
+        # Repair ONLY the identified null-space params with weak scalar
+        # priors and retry (extraction.cpp:761-922). No global ridge and no
+        # all-object-params rescue: those silently shrink every reported
+        # covariance; if the eigen analysis found nothing and the inverse is
+        # still non-finite, extraction genuinely failed -> previous-map
+        # fallback (main.cpp:1058-1068).
+        if not deficient:
+            return None
         from obvi_slam_tpu import types as T
 
-        if not deficient:
-            # Inversion failed without detected columns: prior every object
-            # param weakly (conservative rescue).
-            for r in range(state_np["object"].shape[0]):
-                for c in range(7):
-                    deficient.append(
-                        (2, r, c, float(state_np["object"][r, c]), float(np.sqrt(min_col_norm)))
-                    )
         pp = T.make_param_prior_factors(
             [d[0] for d in deficient],
             [d[1] for d in deficient],
@@ -239,7 +276,6 @@ def _extract(pg, config, front_end_data, dtype):
             problem.free,
             weights,
             problem.huber,
-            ridge=min_col_norm,
         )
         if not bool(ok):
             return None

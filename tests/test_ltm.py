@@ -153,6 +153,95 @@ class TestRankDeficiencyRepair:
         # Some direction must be (nearly) unconstrained.
         assert np.diag(cov).max() > 1e2, np.diag(cov)
 
+    def test_combination_deficiency_detected_and_unbiased(self):
+        # Linear-COMBINATION rank deficiency: an object seen through a single
+        # bbox factor has J_obj (4x7) whose columns all carry healthy norms,
+        # yet rank(H_oo) <= 4 < 7 — invisible to any per-column norm check.
+        # The eigen-based analysis (find_rank_deficiencies) must (a) identify
+        # the null directions and prior only the involved params, and (b)
+        # leave the well-conditioned objects' covariances untouched.
+        import dataclasses as dc
+
+        data, gt_poses, gt_objects = make_object_session()
+        config = object_config()
+        config2 = dc.replace(config)
+        config2.optimization_factors_enabled_params = dc.replace(
+            config.optimization_factors_enabled_params,
+            min_object_observations=1,
+            min_low_level_feature_observations_per_frame=10**9,
+        )
+
+        pg, fe = run_session(data, config)
+        baseline = extract_long_term_object_map(pg, config2, {})
+        assert baseline is not None
+
+        pg2, fe2 = run_session(data, config)
+        deficient = pg2.add_new_ellipsoid(
+            [1.0, 0.5, 6.0, 0, 0.6, 0.6, 1.0], "chair"
+        )
+        for sid in pg2.shape_priors_by_object.pop(deficient, []):
+            pg2.shape_priors[sid] = None
+        # Observe from frame 0, which extraction holds CONSTANT (gauge pose):
+        # the factor's pose Jacobian is masked, so the deficient object is
+        # informationally decoupled from the rest of the graph and the other
+        # objects' marginals must come out bit-identical to the baseline.
+        pg2.add_object_observation(
+            deficient,
+            0,
+            1,
+            np.array([300.0, 360.0, 200.0, 280.0]),
+            np.diag([900.0] * 4),
+        )
+        ltm = extract_long_term_object_map(pg2, config2, {})
+        assert ltm is not None
+        cov_def = ltm.covariances[deficient]
+        assert np.all(np.isfinite(cov_def))
+        # Null directions got weak priors only -> huge but finite variance.
+        assert np.diag(cov_def).max() > 1e2, np.diag(cov_def)
+        # Well-conditioned objects' covariances are NOT biased by the repair
+        # (the old global-ridge/all-object-params rescue shrank them).
+        for obj_id, cov in baseline.covariances.items():
+            scale = np.abs(cov).max()
+            np.testing.assert_allclose(
+                ltm.covariances[obj_id] / scale,
+                cov / scale,
+                atol=1e-6,
+                err_msg=f"object {obj_id} covariance biased by repair",
+            )
+
+    def test_find_rank_deficiencies_maps_null_space_to_params(self):
+        # Direct unit check of the eigen analysis: a reduced Hessian with a
+        # null direction spanning pose-0 x-translation and object-0 dx in
+        # combination (each column individually full-norm).
+        from obvi_slam_tpu.ltm import find_rank_deficiencies
+
+        n_pose, n_obj = 2, 1
+        dim = n_pose * 6 + n_obj * 7
+        rng = np.random.default_rng(3)
+        basis = rng.normal(size=(dim, dim))
+        q, _ = np.linalg.qr(basis)
+        lam = np.full(dim, 10.0)
+        # Null direction = (e_pose0_x + e_obj0_dx)/sqrt(2).
+        v0 = np.zeros(dim)
+        v0[0] = 1.0
+        v0[n_pose * 6 + 4] = 1.0
+        v0 /= np.linalg.norm(v0)
+        h = 10.0 * (np.eye(dim) - np.outer(v0, v0))
+        state = {
+            "pose": np.arange(n_pose * 6, dtype=float).reshape(n_pose, 6),
+            "object": np.arange(n_obj * 7, dtype=float).reshape(n_obj, 7) + 100,
+        }
+        found = find_rank_deficiencies(h, state, min_col_norm=5e-4)
+        keys = {(k, r, c) for (k, r, c, _, _) in found}
+        assert (0, 0, 0) in keys  # pose 0, param 0
+        assert (2, 0, 4) in keys  # object 0, param 4 (dx)
+        assert len(keys) == 2  # nothing else prior'd
+        # Means taken from the state; repair strength near sqrt(min_col_norm).
+        for k, r, c, mean, inv_std in found:
+            expect = state["pose"][r, c] if k == 0 else state["object"][r, c]
+            assert mean == expect
+            assert 0 < inv_std <= np.sqrt(5e-4)
+
     def test_fallback_to_previous(self):
         prev = LongTermObjectMap(
             ellipsoids={5: ("chair", np.arange(7.0))},
