@@ -29,6 +29,12 @@ def main(argv=None):
     parser.add_argument("--long_term_map_input", default="")
     parser.add_argument("--long_term_map_output", default="")
     parser.add_argument("--robot_poses_results_file", default="")
+    parser.add_argument(
+        "--bb_associations_out_file",
+        default="",
+        help="bounding-box association results artifact "
+        "(ObjectDataAssociationResults, main.cpp:1084-1096)",
+    )
     parser.add_argument("--ellipsoids_results_file", default="")
     parser.add_argument("--visual_feature_results_file", default="")
     parser.add_argument("--checkpoint_output_dir", default="")
@@ -194,6 +200,24 @@ def main(argv=None):
             if stage == "AFTER_EACH_OPTIMIZATION"
             else None
         )
+    if args.checkpoint_output_dir:
+        os.makedirs(args.checkpoint_output_dir, exist_ok=True)
+
+        def _write_checkpoint(p, label):
+            # Reference file naming (object_and_reprojection_feature_pose_
+            # graph_file_storage_io.h:17-24 + main.cpp:394-409,627-653).
+            path = os.path.join(args.checkpoint_output_dir, label + ".json")
+            with open(path, "w") as f:
+                json.dump(p.get_state(), f)
+            logger.info("Checkpoint written: %s", path)
+
+        hooks.checkpoint = _write_checkpoint
+    if args.logs_directory:
+        from obvi_slam_tpu.optlog import IterationLoggerFactory
+
+        IterationLoggerFactory.instance().set_logging_directory(
+            args.logs_directory
+        )
     hooks.object_merger = lambda p: apply_merges(
         p,
         merge_objects_by_center_proximity(
@@ -245,9 +269,10 @@ def main(argv=None):
         logger.error("Optimization failed")
         return 1
 
-    # Checkpoint the pose graph state (post-optimization).
+    # Checkpoint the pose graph state (post-optimization; kept for the
+    # resume CLI alongside the reference's four named checkpoint points,
+    # which the runner hook emitted during the run).
     if args.checkpoint_output_dir:
-        os.makedirs(args.checkpoint_output_dir, exist_ok=True)
         with open(
             os.path.join(args.checkpoint_output_dir, "pose_graph_state.json"), "w"
         ) as f:
@@ -255,6 +280,15 @@ def main(argv=None):
 
     # LTM extraction (with fallback to previous map on failure).
     if args.long_term_map_output:
+        # Pre-LTM checkpoint (optimization_runner.h:499-506).
+        if args.checkpoint_output_dir:
+            with open(
+                os.path.join(
+                    args.checkpoint_output_dir, "long_term_map_checkpoint.json"
+                ),
+                "w",
+            ) as f:
+                json.dump(pg.get_state(), f)
         ltm = extract_long_term_object_map(
             pg, config, bb_frontend.get_front_end_obj_map_data(), prev_ltm=prev_ltm
         )
@@ -270,6 +304,8 @@ def main(argv=None):
 
     if args.robot_poses_results_file:
         oio.write_robot_pose_results(args.robot_poses_results_file, pg)
+    if args.bb_associations_out_file:
+        oio.write_bb_association_results(args.bb_associations_out_file, pg)
     if args.ellipsoids_results_file:
         oio.write_ellipsoid_results(args.ellipsoids_results_file, pg)
     if args.visual_feature_results_file:
@@ -289,6 +325,11 @@ def main(argv=None):
     if args.timing_report_file:
         with open(args.timing_report_file, "w") as f:
             json.dump(TimerRegistry.instance().summary(), f, indent=1)
+    if args.logs_directory:
+        from obvi_slam_tpu.optlog import IterationLoggerFactory
+
+        # ceres_iterations_<type>.csv flush (main.cpp:1108).
+        IterationLoggerFactory.instance().write_all()
 
     logger.info(
         "Session complete: %d frames, %d features, %d objects in %.1fs",

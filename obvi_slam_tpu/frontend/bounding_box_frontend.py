@@ -467,7 +467,7 @@ class FeatureBasedBoundingBoxFrontEnd:
             shape=est_params.object_residual_params.shape_dim_prior_factor_huber_loss_param,
             invalid_ellipse_error=est_params.object_residual_params.invalid_ellipsoid_error_val,
         )
-        new_state, _ = slv.solve(
+        new_state, est_summary = slv.solve(
             state,
             cams,
             tables,
@@ -475,6 +475,14 @@ class FeatureBasedBoundingBoxFrontEnd:
             free,
             params=lm_params_from_config(est_params.solver_params),
             huber=huber,
+        )
+        from obvi_slam_tpu import optlog
+
+        optlog.IterationLoggerFactory.instance().log_iterations(
+            optlog.PENDING_ESTIMATOR_TYPE,
+            "_".join(str(t) for t in targets),
+            est_summary,
+            7 * len(targets),
         )
         new_objects = np.asarray(new_state.objects)
         for idx in targets:

@@ -24,6 +24,7 @@ zero appearance scores.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import Callable, Dict, Optional
 
@@ -116,6 +117,12 @@ class RoshanBbFrontEnd(FeatureBasedBoundingBoxFrontEnd):
         self.hue_bins = roshan_params.get("hue_histogram_bins", 60)
         self.sat_bins = roshan_params.get("saturation_histogram_bins", 50)
         self.hsv_image_provider = hsv_image_provider
+        if hsv_image_provider is None:
+            logging.getLogger(__name__).warning(
+                "RoshanBbFrontEnd created without an hsv_image_provider: "
+                "appearance histograms are empty, association degrades to "
+                "geometric pruning with zero appearance scores"
+            )
 
     # -- hooks ----------------------------------------------------------
     def _make_bb_context(self, frame_id, camera_id, bb, observed_features):

@@ -7,6 +7,8 @@ from obvi_slam_tpu.io.readers import (  # noqa: F401
     read_vslam_set,
 )
 from obvi_slam_tpu.io.writers import (  # noqa: F401
+    read_bb_association_results,
+    write_bb_association_results,
     write_ellipsoid_results,
     write_robot_pose_results,
     write_visual_feature_results,

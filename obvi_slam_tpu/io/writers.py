@@ -60,6 +60,67 @@ def write_visual_feature_results(path: str, pg: PoseGraph):
             f.write(f"{feat_id},{p[0]},{p[1]},{p[2]}\n")
 
 
+def write_bb_association_results(path: str, pg: PoseGraph):
+    """Bounding-box association results artifact — the
+    ``--bb_associations_out_file`` output (ObjectDataAssociationResults,
+    offline_object_visual_slam_main.cpp:1084-1096): the final ellipsoid
+    estimates plus, per object, every associated observed bounding box
+    (frame, camera, corner locations). JSON replaces cv::FileStorage
+    (SURVEY.md non-goal)."""
+    import json
+
+    _ensure_dir(path)
+    ellipsoids = {}
+    for obj_id in sorted(pg.objects):
+        node = pg.objects[obj_id]
+        ellipsoids[str(obj_id)] = {
+            "semantic_class": node.semantic_class,
+            "ellipsoid": [float(v) for v in node.ellipsoid],
+        }
+    associations: Dict[str, list] = {}
+    for f in pg.object_observations:
+        if f is None:
+            continue
+        associations.setdefault(str(f.object_id), []).append(
+            {
+                "frame_id": int(f.frame_id),
+                "camera_id": int(f.camera_id),
+                "corners": [float(c) for c in f.corners],
+            }
+        )
+    with open(path, "w") as fh:
+        json.dump(
+            {
+                "bounding_box_associations": {
+                    "ellipsoid_pose_results": ellipsoids,
+                    "associated_bounding_boxes": associations,
+                }
+            },
+            fh,
+        )
+
+
+def read_bb_association_results(path: str):
+    """Inverse of write_bb_association_results:
+    (obj_id -> (class, 7-vec), obj_id -> [(frame, cam, corners4)])."""
+    import json
+
+    with open(path) as fh:
+        d = json.load(fh)["bounding_box_associations"]
+    ellipsoids = {
+        int(k): (v["semantic_class"], np.asarray(v["ellipsoid"]))
+        for k, v in d["ellipsoid_pose_results"].items()
+    }
+    associations = {
+        int(k): [
+            (o["frame_id"], o["camera_id"], np.asarray(o["corners"]))
+            for o in obs
+        ]
+        for k, obs in d["associated_bounding_boxes"].items()
+    }
+    return ellipsoids, associations
+
+
 def read_ellipsoid_results(path: str) -> Dict[int, tuple]:
     """Inverse of write_ellipsoid_results: obj_id -> (class, 7-vec)."""
     out = {}

@@ -61,6 +61,14 @@ def run_tracking_solve(runner, data, pg, next_frame_id):
             ),
         )
     write_back(pg, problem, state)
+    from obvi_slam_tpu import optlog
+
+    optlog.IterationLoggerFactory.instance().log_iterations(
+        optlog.PRE_PGO_TRACK_TYPE,
+        str(next_frame_id),
+        summary,
+        runner._num_free_params(problem),
+    )
     return summary
 
 
@@ -128,6 +136,11 @@ def run_pgo_plus_ellipsoids(runner, data, pg, max_frame_id, final_run, attempt_n
             problem, lm_params_from_config(solver_params)
         )
     write_back(pg, problem, state)
+    from obvi_slam_tpu import optlog
+
+    optlog.IterationLoggerFactory.instance().log_iterations(
+        optlog.PGO_TYPE, str(max_frame_id), summary, runner._num_free_params(problem)
+    )
     runner._log_solve(problem, summary, max_frame_id, True, 0, attempt_num)
 
     # 3. Analytic feature re-anchoring (:238-283).
@@ -165,8 +178,14 @@ def run_pgo_plus_ellipsoids(runner, data, pg, max_frame_id, final_run, attempt_n
                 if final_run
                 else pgo_params.post_pgo_vf_adjustment_solver_params
             )
-            vf_state, _ = runner.solve(
+            vf_state, vf_summary = runner.solve(
                 vf_problem, lm_params_from_config(vf_params)
+            )
+            optlog.IterationLoggerFactory.instance().log_iterations(
+                optlog.VF_ADJUST_TYPE,
+                str(max_frame_id),
+                vf_summary,
+                runner._num_free_params(vf_problem),
             )
         write_back(pg, vf_problem, vf_state)
     return True

@@ -105,6 +105,18 @@ class RunnerHooks:
     object_merger: Optional[Callable] = None
     # Called with (frame_id, summary, phase) after each solve.
     solve_logger: Optional[Callable] = None
+    # Checkpoint emitter: called as (pg, label) at the reference's four dump
+    # points (offline_object_visual_slam_main.cpp:394-409,627-653,
+    # optimization_runner.h:499-506):
+    #   "pose_graph_state_checkpoint_pre_optimization_<N>_attempt_<k>"
+    #       before every final-frame optimization attempt,
+    #   "pose_graph_state_checkpoint_post_frame_add"
+    #       after all data + the final optimization, before postprocessing,
+    #   "pose_graph_state_checkpoint_post_postprocessing"
+    #       after the merge loop,
+    #   "long_term_map_checkpoint"  at output extraction (pre-LTM; emitted by
+    #       the CLI's output path, not the runner).
+    checkpoint: Optional[Callable] = None
 
 
 @dataclass
@@ -181,11 +193,16 @@ class OfflineProblemRunner:
             huber=problem.huber,
         )
         if use_fused:
+            from obvi_slam_tpu import optlog
             from obvi_slam_tpu.solver import lm_fused
 
+            with_records = (
+                self.hooks.solve_logger is not None
+                or optlog.IterationLoggerFactory.instance().enabled
+            )
             return lm_fused.solve_fused(
                 problem.state, problem.cams, problem.tables, problem.plan,
-                problem.free, with_records=self.hooks.solve_logger is not None,
+                problem.free, with_records=with_records,
                 **kwargs,
             )
         return slv.solve(
@@ -461,8 +478,30 @@ class OfflineProblemRunner:
             termination=summary.termination,
         )
         self.opt_log.append(rec)
+        from obvi_slam_tpu import optlog
+
+        ilf = optlog.IterationLoggerFactory.instance()
+        if ilf.enabled:
+            opt_type = (
+                (optlog.GBA_PHASE1_TYPE if phase == 1 else optlog.GBA_PHASE2_TYPE)
+                if global_ba
+                else (optlog.LBA_PHASE1_TYPE if phase == 1 else optlog.LBA_PHASE2_TYPE)
+            )
+            ilf.log_iterations(
+                opt_type, str(frame_id), summary, self._num_free_params(problem)
+            )
         if self.hooks.solve_logger is not None:
             self.hooks.solve_logger(frame_id, summary, phase)
+
+    @staticmethod
+    def _num_free_params(problem) -> int:
+        """num_parameters_reduced equivalent (free blocks only)."""
+        free = problem.free
+        return int(
+            6 * np.sum(np.asarray(free.poses))
+            + 3 * np.sum(np.asarray(free.points))
+            + 7 * np.sum(np.asarray(free.objects))
+        )
 
     # ------------------------------------------------------------------
     def run_optimization(
@@ -502,19 +541,37 @@ class OfflineProblemRunner:
 
         with timer("offline_runner_offline_portion"):
             # Final refinement over the whole trajectory.
+            self._checkpoint(
+                pg,
+                "pose_graph_state_checkpoint_pre_optimization_"
+                f"{max_frame_id}_attempt_1",
+            )
             if not self.run_optimization_iteration(
                 data, pg, 0, max_frame_id, max_frame_id, attempt_num=1
             ):
                 return False
+            self._checkpoint(pg, "pose_graph_state_checkpoint_post_frame_add")
 
             # Post-session merge loop.
             if self.hooks.object_merger is not None:
                 with timer("post_session_map_merge"):
                     post_round = 2
                     while self.hooks.object_merger(pg):
+                        self._checkpoint(
+                            pg,
+                            "pose_graph_state_checkpoint_pre_optimization_"
+                            f"{max_frame_id}_attempt_{post_round}",
+                        )
                         if not self.run_optimization_iteration(
                             data, pg, 0, max_frame_id, max_frame_id, attempt_num=post_round
                         ):
                             return False
                         post_round += 1
+            self._checkpoint(
+                pg, "pose_graph_state_checkpoint_post_postprocessing"
+            )
         return True
+
+    def _checkpoint(self, pg, label: str):
+        if self.hooks.checkpoint is not None:
+            self.hooks.checkpoint(pg, label)

@@ -156,11 +156,55 @@ class TestMainCli:
                 "--visual_feature_results_file", str(res_dir / "features.csv"),
                 "--opt_log_file", str(res_dir / "ceres_opt_summary.csv"),
                 "--timing_report_file", str(res_dir / "timing.json"),
+                "--bb_associations_out_file", str(res_dir / "bb_assoc.json"),
+                "--checkpoint_output_dir", str(res_dir / "checkpoints"),
+                "--logs_directory", str(res_dir / "logs"),
             ],
         )
         assert (res_dir / "robot_poses.csv").exists()
         assert (res_dir / "ellipsoids.csv").exists()
         assert (res_dir / "ltm.json").exists()
+
+        # Four-point checkpointing (main.cpp:394-409,627-653,
+        # optimization_runner.h:499-506 file names).
+        ckpt_dir = res_dir / "checkpoints"
+        ckpts = sorted(p.name for p in ckpt_dir.glob("*.json"))
+        assert any(
+            n.startswith("pose_graph_state_checkpoint_pre_optimization_")
+            and "_attempt_1" in n
+            for n in ckpts
+        ), ckpts
+        assert "pose_graph_state_checkpoint_post_frame_add.json" in ckpts
+        assert "pose_graph_state_checkpoint_post_postprocessing.json" in ckpts
+        assert "long_term_map_checkpoint.json" in ckpts
+
+        # Per-LM-iteration CSVs (ceres_iterations_<type>.csv,
+        # optimization_logger.h:29-118 schema).
+        iter_csvs = sorted((res_dir / "logs").glob("ceres_iterations_*.csv"))
+        assert iter_csvs, list((res_dir / "logs").iterdir())
+        types = {p.stem.replace("ceres_iterations_", "") for p in iter_csvs}
+        assert {"lba_phase_1", "gba_phase_1"} <= types, types
+        with open(iter_csvs[0]) as f:
+            header = f.readline().strip()
+            assert header == (
+                "optimization_id,iteration_num,cost,cost_change,step_norm,"
+                "step_norm_per_param,is_successful"
+            )
+            row = f.readline().strip().split(",")
+            assert len(row) == 7 and row[6] in ("0", "1"), row
+
+        # bb-association artifact round-trip.
+        sys.path.insert(0, str(REPO))
+        from obvi_slam_tpu.io import read_bb_association_results
+
+        assoc_ellipsoids, associations = read_bb_association_results(
+            str(res_dir / "bb_assoc.json")
+        )
+        assert len(assoc_ellipsoids) == 2
+        for obj_id, obs in associations.items():
+            assert obj_id in assoc_ellipsoids
+            for frame_id, cam_id, corners in obs:
+                assert corners.shape == (4,)
         with open(res_dir / "ltm.json") as f:
             ltm = json.load(f)
         assert len(ltm["ellipsoids"]) == 2
@@ -297,6 +341,34 @@ class TestCheckpointResume:
         )
         ckpt = res / "checkpoints" / "pose_graph_state.json"
         assert ckpt.exists()
+
+        # Resume from EACH of the reference's named checkpoint points
+        # (pre-final-opt / post-frame-add / post-postprocessing): all must
+        # load and re-run the final optimization successfully.
+        named = [
+            res / "checkpoints" / "pose_graph_state_checkpoint_pre_optimization_7_attempt_1.json",
+            res / "checkpoints" / "pose_graph_state_checkpoint_post_frame_add.json",
+            res / "checkpoints" / "pose_graph_state_checkpoint_post_postprocessing.json",
+        ]
+        for n in named:
+            assert n.exists(), sorted(p.name for p in (res / "checkpoints").iterdir())
+        for n in named:
+            r = subprocess.run(
+                [sys.executable, str(REPO / "cli" / "run_opt_from_pg_state.py"),
+                 "--input_checkpoint_file", str(n),
+                 "--params_config_file", str(out / "config.json"),
+                 "--intrinsics_file", str(out / "intrinsics.csv"),
+                 "--extrinsics_file", str(out / "extrinsics.csv"),
+                 "--poses_by_node_id_file", str(out / "poses.csv"),
+                 "--bounding_boxes_by_node_id_file", str(out / "bounding_boxes.csv"),
+                 "--low_level_feats_dir", str(out / "orb_out"),
+                 "--start_at_frame", "7",
+                 "--robot_poses_results_file",
+                 str(res / f"resumed_{n.stem[-12:]}.csv"),
+                 "--platform", "cpu"],
+                capture_output=True, text=True, timeout=900,
+            )
+            assert r.returncode == 0, (n.name, r.stderr[-2000:])
 
         # Resume from the checkpoint at the final frame (re-runs final opt).
         r = subprocess.run(
