@@ -24,6 +24,7 @@ capacities to keep jit signatures stable.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -465,8 +466,87 @@ _MAX_DIAG = 1e32
 # f32-exact operands; HIGH = 3-pass (~2^-18 relative operand error), ~2x
 # faster and still well below the f32 residual/Jacobian evaluation noise
 # floor that bounds overall f32-vs-f64 step accuracy (tests/test_f32_precision
-# validates the end-to-end bound under this setting).
+# validates the end-to-end bound under this setting; the hardware experiment
+# tools/precision_tpu_step.py compares both against a CPU f64 step).
 _GRAM_PRECISION = jax.lax.Precision.HIGHEST
+
+# Implementation of the grams: "auto" uses the symmetric split-bf16 expansion
+# on TPU f32 (below) and a plain dot_general elsewhere; "split"/"dot" force.
+_GRAM_IMPL = os.environ.get("OBVI_GRAM_IMPL", "auto")
+
+
+def _use_split_gram(dtype) -> bool:
+    if _GRAM_IMPL == "dot":
+        return False
+    if _GRAM_IMPL == "split":
+        return True
+    return dtype == jnp.float32 and jax.default_backend() == "tpu"
+
+
+def _split_bf16(x, parts):
+    """Split f32 ``x`` into ``parts`` bf16 arrays with x ~= sum(parts).
+
+    Each residual subtraction is exact in f32 (the bf16 term is a prefix of
+    the f32 mantissa), so 3 parts reproduce all 24 mantissa bits — the same
+    decomposition TPU's Precision.HIGHEST 6-pass f32 matmul emulation uses.
+
+    The in-f32 rounding MUST be ``lax.reduce_precision``, not an
+    astype(bf16).astype(f32) round-trip: XLA's allow-excess-precision
+    simplifier elides convert pairs, which silently zeroes the split residual
+    and degrades the whole gram to one bf16 pass (observed on TPU — see
+    tools/tpu_gram_check.py). reduce_precision is semantically protected;
+    the final cast of each (already bf16-representable) part is a single
+    down-convert the simplifier cannot remove."""
+    out = []
+    r = x
+    for _ in range(parts - 1):
+        h = jax.lax.reduce_precision(r, exponent_bits=8, mantissa_bits=7)
+        out.append(h.astype(jnp.bfloat16))
+        r = r - h
+    out.append(r.astype(jnp.bfloat16))
+    return out
+
+
+def _sym_gram_split(z, dims):
+    """Symmetric gram dot_general(z, z, contracting ``dims`` on both sides)
+    via explicit bf16-split passes, exploiting output symmetry.
+
+    TPU's f32 matmul emulation splits each operand into bf16 parts and runs
+    one MXU pass per cross product: HIGHEST = {hh, hm, mh, hl, lh, mm} = 6
+    passes, HIGH = {hh, hl, lh} = 3. For a GRAM the mixed passes are mutual
+    transposes (dot(m, h) == dot(h, m)^T under identical contraction dims), so
+    computing one of each mirror pair and adding its transpose yields the
+    SAME products in 4 (HIGHEST-grade) or 2 (HIGH-grade) passes — a 1.5x MXU
+    saving at identical accuracy. Used for the Schur-subtraction grams, the
+    solver's dominant device-time cost (~42% profiled at 6-pass HIGHEST)."""
+    nd = z.ndim
+    free = [d for d in range(nd) if d not in dims]
+    dn = ((dims, dims), ((), ()))
+    # Output axis order: z free dims then z free dims again; the transpose
+    # that mirrors a mixed pass swaps the two free groups.
+    k = len(free)
+    mirror = tuple(range(k, 2 * k)) + tuple(range(k))
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dn, preferred_element_type=jnp.float32
+        )
+
+    if _GRAM_PRECISION == jax.lax.Precision.HIGHEST:
+        h, m, l = _split_bf16(z, 3)
+        hm = dot(h, m)
+        hl = dot(h, l)
+        return (
+            dot(h, h)
+            + dot(m, m)
+            + (hm + hm.transpose(mirror))
+            + (hl + hl.transpose(mirror))
+        )
+    if _GRAM_PRECISION == jax.lax.Precision.HIGH:
+        h, l = _split_bf16(z, 2)
+        hl = dot(h, l)
+        return dot(h, h) + (hl + hl.transpose(mirror))
+    return dot(z.astype(jnp.bfloat16), z.astype(jnp.bfloat16))
 # Small block einsums (W G, G^T b, per-factor outer products) must never be
 # rounded to bf16 — they carry solver values, not redundant passes.
 _P_HI = jax.lax.Precision.HIGHEST
@@ -609,9 +689,14 @@ def compute_step(
     j_rp_pose = j_rp_pose * pose_free[tables.reproj.pose_idx][:, None, None]
     j_rp_point = j_rp_point * point_free[tables.reproj.point_idx][:, None, None]
 
-    r_bb, j_bb_obj, j_bb_pose = fac.bbox_residuals_and_jac(
-        state, cams, tables.bbox, huber.invalid_ellipse_error
-    )
+    if ops_mod.pallas_supported():
+        r_bb, j_bb_obj, j_bb_pose = ops_mod.bbox_residuals_and_jac_pallas(
+            state, cams, tables.bbox, huber.invalid_ellipse_error
+        )
+    else:
+        r_bb, j_bb_obj, j_bb_pose = fac.bbox_residuals_and_jac(
+            state, cams, tables.bbox, huber.invalid_ellipse_error
+        )
     w_bb = _block_weight(r_bb, huber.bbox, weights.bbox, tables.bbox.mask.astype(dtype))
     r_bb, (j_bb_obj, j_bb_pose) = _weighted(r_bb, [j_bb_obj, j_bb_pose], w_bb)
     j_bb_obj = j_bb_obj * obj_free[tables.bbox.obj_idx][:, None, None]
@@ -812,8 +897,12 @@ def compute_step(
     if dense_schur is None:
         dense_schur = (n_pose * 6) * (n_point * 3) <= 256 * 1024 * 1024
 
+    split_gram = _use_split_gram(dtype)
+
     def _gram(m):
         """m @ m.T at full f32 operand precision (see HIGHEST note below)."""
+        if split_gram:
+            return _sym_gram_split(m, (1,))
         return jax.lax.dot_general(
             m,
             m,
@@ -871,13 +960,16 @@ def compute_step(
         # the bench problem): the explicit transpose copy of the ~75 MB
         # buffer costs more than the per-consumer layout assignments XLA
         # picks for the 4-D form. Keep the 4-D z.
-        s = jax.lax.dot_general(
-            z,
-            z,
-            (((0, 3), (0, 3)), ((), ())),
-            precision=_GRAM_PRECISION,
-            preferred_element_type=dtype,
-        )  # (P, 6, P, 6)
+        if split_gram:
+            s = _sym_gram_split(z, (0, 3))  # (P, 6, P, 6)
+        else:
+            s = jax.lax.dot_general(
+                z,
+                z,
+                (((0, 3), (0, 3)), ((), ())),
+                precision=_GRAM_PRECISION,
+                preferred_element_type=dtype,
+            )  # (P, 6, P, 6)
         return s.reshape(n_pose * 6, n_pose * 6), z
 
     # One-hot size gate: for extreme landmark degree (C ~ P) the slot grid's

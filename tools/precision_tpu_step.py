@@ -22,7 +22,7 @@ prec_name = sys.argv[1] if len(sys.argv) > 1 else "HIGHEST"
 schur_mod._GRAM_PRECISION = getattr(jax.lax.Precision, prec_name)
 
 dev = [d for d in jax.devices() if d.platform != "cpu"][0]
-print("device:", dev)
+print("device:", dev, flush=True)
 
 problem = synthetic_problem(
     n_poses=256, n_points=4096, n_objects=32,
@@ -40,8 +40,10 @@ step = jax.jit(
     lambda s, c, t, p, f, w, r: schur_mod.compute_step(s, c, t, p, f, w, r, huber)
 )
 radius = jnp.asarray(1e4, jnp.float32)
+t_c = time.perf_counter()
 delta, mcc, gmax = step(state0, cams, tables, plan, free, weights, radius)
 dp = np.asarray(delta.poses, np.float64)  # value readback = fence
+print(f"  compile+first-step: {time.perf_counter() - t_c:.1f}s", flush=True)
 
 ref = np.load("/tmp/precision_ref.npz")
 
@@ -50,7 +52,7 @@ def rel(a, b):
     return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30))
 
 
-print(f"prec={prec_name}")
+print(f"prec={prec_name}", flush=True)
 print("  rel step err poses :", rel(dp, ref["poses"]))
 print("  rel step err points:", rel(np.asarray(delta.points, np.float64), ref["points"]))
 print("  rel step err objs  :", rel(np.asarray(delta.objects, np.float64), ref["objects"]))
