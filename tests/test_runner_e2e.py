@@ -200,10 +200,11 @@ class TestShardedRunner:
     sharded program is the same numeric computation with XLA-inserted
     all-reduces (f64 on CPU, so equality is tight)."""
 
-    def _run(self, data, mesh=None, shard_local_ba=False):
+    def _run(self, data, mesh=None, shard_local_ba=False, use_fused_solver=None):
         config = small_config()
         runner = OfflineProblemRunner(
-            config, mesh=mesh, shard_local_ba=shard_local_ba
+            config, mesh=mesh, shard_local_ba=shard_local_ba,
+            use_fused_solver=use_fused_solver,
         )
         pg = PoseGraph(data.cameras)
         vf = VisualFeatureFrontend(
@@ -252,3 +253,22 @@ class TestShardedRunner:
         mesh = par.make_mesh(jax.devices()[:8])
         sharded = self._run(data, mesh=mesh, shard_local_ba=True)
         np.testing.assert_allclose(sharded, base, rtol=1e-7, atol=1e-9)
+
+    def test_sharded_fused_matches_single_fused(self):
+        """The FUSED trust-region loop (lm_fused.solve_fused — the code path
+        TPU deployments actually run) executed on an 8-device mesh must match
+        the single-device fused run: the while_loop body is the same numeric
+        program with XLA-inserted psums over the factor axis."""
+        import jax
+
+        from obvi_slam_tpu import parallel as par
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        data, gt_poses, _ = make_session(n_frames=8, n_features=30)
+        base = self._run(data, use_fused_solver=True)
+        mesh = par.make_mesh(jax.devices()[:8])
+        sharded = self._run(
+            data, mesh=mesh, shard_local_ba=True, use_fused_solver=True
+        )
+        np.testing.assert_allclose(sharded, base, rtol=1e-6, atol=1e-8)

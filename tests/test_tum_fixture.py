@@ -142,3 +142,40 @@ class TestTumMinimumSlice:
         assert any(r.phase == 2 for r in runner.opt_log)
         # Features survived the epipolar gate.
         assert len(pg.features) > 100
+        type(self)._ate_f64 = ate_est
+
+    def test_sliding_window_ba_on_real_data_f32(self, tum_session):
+        """f32 (the TPU deployment dtype) end-to-end on the same real data
+        must meet the SAME ATE bounds as the f64 run — SURVEY hard part #5
+        (mixed precision validated on ATE, not just per-step deviation)."""
+        data, gt_poses = tum_session
+        config = tum_config()
+        runner = OfflineProblemRunner(config, dtype=np.float32)
+        pg = PoseGraph(data.cameras)
+        vf = VisualFeatureFrontend(
+            gba_checker=lambda f: runner._gba_checker(f, data.max_frame_id()),
+            reprojection_error_provider=lambda *a: config.visual_feature_params.reprojection_error_std_dev,
+            inlier_epipolar_err_thresh=config.visual_feature_params.inlier_epipolar_err_thresh,
+            check_past_n_frames=config.visual_feature_params.check_past_n_frames_for_epipolar_err,
+        )
+        ok = runner.run_optimization(data, pg, visual_frontend=vf)
+        assert ok
+        n = len(gt_poses)
+        gt = np.stack([gt_poses[i] for i in range(n)])
+        est = np.stack([pg.get_robot_pose(i) for i in range(n)])
+        init = np.stack([data.initial_poses[i] for i in range(n)])
+        ate_est = M.ate_for_synced_aligned(
+            M.align_with_ground_truth(gt, est), gt
+        ).rmse_transl_err
+        ate_init = M.ate_for_synced_aligned(
+            M.align_with_ground_truth(gt, init), gt
+        ).rmse_transl_err
+        assert ate_est < ate_init * 0.85, (ate_est, ate_init)
+        assert ate_est < 0.08, ate_est
+        # Tracked f32-vs-f64 ATE delta: the dtype change must not move the
+        # trajectory quality materially (sub-centimeter budget).
+        ate_f64 = getattr(type(self), "_ate_f64", None)
+        if ate_f64 is not None:
+            delta = abs(ate_est - ate_f64)
+            print(f"f32-vs-f64 ATE delta: {delta:.5f} m (f32 {ate_est:.5f}, f64 {ate_f64:.5f})")
+            assert delta < 0.01, (ate_est, ate_f64)

@@ -25,6 +25,9 @@ def main(argv=None):
     parser.add_argument("--platform", default="")
     parser.add_argument("--f64", action="store_true")
     parser.add_argument("--fused_solver", choices=("auto", "on", "off"), default="auto")
+    parser.add_argument(
+        "--json_out", default="", help="also write results as JSON to this path"
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -120,6 +123,25 @@ def main(argv=None):
         f"e2e: {n} frames in {wall:.1f}s = {n / wall:.2f} frames/s | "
         f"ATE transl RMSE {ate.rmse_transl_err:.4f} m"
     )
+    if args.json_out:
+        import json
+
+        summary = timing.TimerRegistry.instance().summary()
+        with open(args.json_out, "w") as f:
+            json.dump(
+                {
+                    "frames": n,
+                    "wall_s": wall,
+                    "frames_per_s": n / wall,
+                    "ate_rmse_transl_m": float(ate.rmse_transl_err),
+                    "backend": jax.devices()[0].platform,
+                    "dtype": np.dtype(dtype).name,
+                    # Per-phase wall-clock keyed by the reference's cumulative
+                    # timer names (cumulative_timer_constants.h:11-107).
+                    "phases": summary,
+                },
+                f,
+            )
 
 
 if __name__ == "__main__":
