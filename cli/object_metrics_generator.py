@@ -18,6 +18,12 @@ def main(argv=None):
     parser.add_argument("--gt_objects_file", required=True, help="same schema")
     parser.add_argument("--metrics_out_file", required=True)
     parser.add_argument("--max_assoc_dist", type=float, default=4.0)
+    parser.add_argument(
+        "--ref_schema_out_file",
+        default="",
+        help="also write the reference's object-metrics schema "
+        "(readObjectsMetricsFile-compatible, approach_metrics.py:592-601)",
+    )
     args = parser.parse_args(argv)
 
     import obvi_slam_tpu.metrics as M
@@ -43,6 +49,12 @@ def main(argv=None):
     }
     with open(args.metrics_out_file, "w") as f:
         json.dump(out, f, indent=1)
+    if args.ref_schema_out_file:
+        from obvi_slam_tpu.metrics import schema as S
+
+        S.write_object_metrics_file(
+            args.ref_schema_out_file, [S.object_metrics_to_ref_json(m)]
+        )
     print(
         f"recall={m.recall:.3f} missed={m.missed_gt_objs}/{m.num_gt_objs} "
         f"avg_pos_dev={m.average_pos_deviation:.3f}m avg_iou={m.avg_iou:.3f}"

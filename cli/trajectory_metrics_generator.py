@@ -32,6 +32,13 @@ def main(argv=None):
     parser.add_argument("--gt_trajectory_file", required=True)
     parser.add_argument("--metrics_out_file", required=True)
     parser.add_argument("--waypoints_file", default="", help="JSON: waypoint_id -> [node ids]")
+    parser.add_argument(
+        "--ref_schema_out_file",
+        default="",
+        help="also write the metrics in the reference's metric-file schema "
+        "(MetricsFileConstants, approach_metrics.py:574-615) so the "
+        "reference's readMetricsFile/plotters consume them directly",
+    )
     args = parser.parse_args(argv)
 
     import obvi_slam_tpu.metrics as M
@@ -72,6 +79,17 @@ def main(argv=None):
     }
     with open(args.metrics_out_file, "w") as f:
         json.dump(out, f, indent=1)
+    if args.ref_schema_out_file:
+        from obvi_slam_tpu.metrics import schema as S
+
+        traj = S.trajectory_metrics_to_ref_json(
+            ate,
+            rpe=rpe,
+            waypoint_deviations=out["waypoint_deviations"],
+            all_translation_deviations=all_t,
+            all_rotation_deviations=all_r,
+        )
+        S.write_metrics_file(args.ref_schema_out_file, traj, [traj])
     print(
         f"ATE transl RMSE: {ate.rmse_transl_err:.4f} m, "
         f"rot RMSE: {np.degrees(ate.rmse_rot_err):.3f} deg "

@@ -37,6 +37,10 @@ class MetricsDistributionStatistics:
     max: float = 0.0
     lower_quartile: float = 0.0
     upper_quartile: float = 0.0
+    # Reference-schema extras (approach_metrics.py:604-614): std-dev of the
+    # squared errors and the raw error values themselves.
+    squared_err_std_dev: float = 0.0
+    errors: list = None
 
 
 @dataclass
@@ -63,6 +67,8 @@ def distribution_stats(vals) -> MetricsDistributionStatistics:
         max=float(np.max(vals)),
         lower_quartile=float(np.percentile(vals, 25)),
         upper_quartile=float(np.percentile(vals, 75)),
+        squared_err_std_dev=float(np.std(vals**2)),
+        errors=[float(v) for v in vals],
     )
 
 

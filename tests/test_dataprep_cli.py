@@ -284,3 +284,73 @@ def test_orb_stereo_reformat_data(tmp_path):
     dlines = (out / "depths" / "5.txt").read_text().strip().splitlines()
     depths = {int(l.split()[0]): float(l.split()[1]) for l in dlines[2:]}
     assert depths == {11: 2.5, 13: 4.0}
+
+
+def test_reference_metric_schema_roundtrip(tmp_path):
+    """Metric-file interop with the reference's evaluation stack: our CLIs
+    emit the MetricsFileConstants schema (approach_metrics.py:574-615, with
+    the cv::FileStorage [{"value": v}] vector convention), and our reader —
+    a faithful replica of readMetricsFile/readObjectsMetricsFile — round
+    trips it."""
+    import numpy as np
+
+    from obvi_slam_tpu.metrics import schema as S
+    from obvi_slam_tpu.metrics.trajectory import ATEResults, distribution_stats
+
+    # Trajectory metrics file.
+    terr = [0.01, 0.02, 0.015]
+    rerr = [0.001, 0.003, 0.002]
+    ate = ATEResults(
+        rmse_transl_err=float(np.sqrt(np.mean(np.square(terr)))),
+        rmse_rot_err=float(np.sqrt(np.mean(np.square(rerr)))),
+        transl_stats=distribution_stats(terr),
+        rot_stats=distribution_stats(rerr),
+        valid_poses_used_in_score=3,
+        lost_poses=0,
+    )
+    traj = S.trajectory_metrics_to_ref_json(
+        ate, rpe=ate,
+        all_translation_deviations=[0.1, 0.2],
+        all_rotation_deviations=[0.01, 0.02],
+    )
+    path = tmp_path / "metrics.json"
+    S.write_metrics_file(str(path), traj, [traj, traj])
+    seq, indiv = S.read_metrics_file(str(path))
+    assert len(indiv) == 2
+    assert seq["ate"].rmse_transl_err == ate.rmse_transl_err
+    assert seq["ate"].transl_stats.errors == [float(v) for v in terr]
+    assert seq["ate"].transl_stats.squared_err_std_dev == ate.transl_stats.squared_err_std_dev
+    assert seq["all_translation_deviations"] == [0.1, 0.2]
+    assert seq["rpe"].rmse_rot_err == ate.rmse_rot_err
+    # Vector convention: every list element is {"value": ...}.
+    import json as _json
+
+    raw = _json.loads(path.read_text())
+    errs = raw["metrics"]["sequence_metrics"]["trajectory_sequence_ate_results"][
+        "transl_stats"]["errors"]
+    assert all(set(e) == {"value"} for e in errs)
+
+    # Object metrics file through the CLI.
+    est_csv = tmp_path / "est.csv"
+    gt_csv = tmp_path / "gt.csv"
+    header = ("semantic_class,transl_x,transl_y,transl_z,quat_x,quat_y,"
+              "quat_z,quat_w,d_x,d_y,d_z,obj_id\n")
+    for p, off in ((est_csv, 0.05), (gt_csv, 0.0)):
+        with open(p, "w") as f:
+            f.write(header)
+            f.write(f"chair,{1+off},2.0,0.5,0,0,0,1,0.6,0.6,1.0,0\n")
+    out = tmp_path / "obj_metrics.json"
+    ref_out = tmp_path / "obj_metrics_ref.json"
+    run_cli(
+        "object_metrics_generator.py",
+        ["--est_objects_file", str(est_csv),
+         "--gt_objects_file", str(gt_csv),
+         "--metrics_out_file", str(out),
+         "--ref_schema_out_file", str(ref_out)],
+    )
+    parsed = S.read_object_metrics_file(str(ref_out))
+    assert len(parsed) == 1
+    assert parsed[0]["recall"] == 1.0
+    assert parsed[0]["num_gt_objs"] == 1
+    assert abs(parsed[0]["average_pos_deviation"] - 0.05) < 1e-6
+    assert parsed[0]["pos_dev_stats"].num_vals == 1
