@@ -35,6 +35,13 @@ def main(argv=None):
     )
     parser.add_argument("--metrics_out_file", required=True)
     parser.add_argument("--plots_dir", default="")
+    parser.add_argument(
+        "--ref_schema_out_file",
+        default="",
+        help="also write the reference's full-sequence metric-file schema "
+        "(readMetricsFile-compatible, approach_metrics.py:574-615) — the "
+        "format compute_metrics_for_approach-style comparisons consume",
+    )
     args = parser.parse_args(argv)
 
     import obvi_slam_tpu.metrics as M
@@ -109,6 +116,21 @@ def main(argv=None):
     os.makedirs(os.path.dirname(os.path.abspath(args.metrics_out_file)), exist_ok=True)
     with open(args.metrics_out_file, "w") as f:
         json.dump(out, f, indent=1)
+    if args.ref_schema_out_file:
+        from obvi_slam_tpu.metrics import schema as S
+
+        indiv = [
+            S.trajectory_metrics_to_ref_json(a, rpe=r)
+            for a, r in zip(ate_list, rpe_list)
+        ]
+        seq = S.trajectory_metrics_to_ref_json(
+            seq_ate,
+            rpe=seq_rpe,
+            waypoint_deviations=out["sequence_metrics"]["waypoint_deviations"],
+            all_translation_deviations=all_t,
+            all_rotation_deviations=all_r,
+        )
+        S.write_metrics_file(args.ref_schema_out_file, seq, indiv)
     print(
         f"sequence ATE transl RMSE {seq_ate.rmse_transl_err:.4f} m over "
         f"{len(sessions)} sessions; {len(all_t)} waypoint deviations"

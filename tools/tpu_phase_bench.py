@@ -1,0 +1,156 @@
+"""Per-phase device-time microbench on the bench problem (TPU tunnel).
+
+Each phase is timed as a DEPENDENT chain inside one jitted fori_loop (one
+dispatch + one value readback), so per-iteration times are real device times,
+unaffected by the tunnel's ~0.5s dispatch latency:
+
+  resjac   — reproj (Pallas) + bbox (Pallas) residual+Jacobian evaluation
+  zbuild   — the one-hot slot->z contraction (value-bearing MXU)
+  gram     — the symmetric split-bf16 Schur gram of z (the headline matmul)
+  chol     — dense Cholesky of S + 2 cho_solves + refinement matvec
+  step     — the whole compute_step for reference
+
+Usage: python tools/tpu_phase_bench.py [reps]
+"""
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from obvi_slam_tpu.solver import schur as sm
+from obvi_slam_tpu.synthetic import synthetic_problem
+
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+
+dev = [d for d in jax.devices() if d.platform != "cpu"][0]
+print("device:", dev, flush=True)
+
+problem = synthetic_problem(
+    n_poses=256, n_points=4096, n_objects=32,
+    obs_per_point=6, obs_per_object=12, dtype=np.float32,
+)
+state, _, cams, tables, plan, free, weights, huber = (
+    jax.device_put(problem[0], dev), problem[1],
+    jax.device_put(problem[2], dev), jax.device_put(problem[3], dev),
+    jax.device_put(problem[4], dev), jax.device_put(problem[5], dev),
+    jax.device_put(problem[6], dev), problem[7],
+)
+n_pose = 256
+rng = np.random.default_rng(0)
+
+
+def chain(fn, x0, label):
+    """Run fn REPS times with a data dependency; report per-iter ms."""
+
+    @jax.jit
+    def loop(x):
+        def body(_, x):
+            return fn(x)
+
+        return jax.lax.fori_loop(0, REPS, body, x)
+
+    t0 = time.perf_counter()
+    out = loop(x0)
+    _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))  # readback fence
+    compile_and_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = loop(x0)
+    _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+    dt = time.perf_counter() - t0
+    print(
+        f"{label:8s} {dt / REPS * 1e3:8.3f} ms/iter   "
+        f"(compile+first {compile_and_first:.1f}s)",
+        flush=True,
+    )
+    return dt / REPS
+
+
+# --- phase: residual+jacobian (pallas reproj + bbox) -----------------------
+from obvi_slam_tpu import ops as ops_mod
+
+
+def resjac(carry):
+    s = carry
+    r1, jp, jx = ops_mod.reproj_residuals_and_jac_pallas(s, cams, tables.reproj)
+    r2, jo, jb = ops_mod.bbox_residuals_and_jac_pallas(s, cams, tables.bbox)
+    bump = jnp.sum(r1) + jnp.sum(jp) + jnp.sum(jx) + jnp.sum(r2) + jnp.sum(jo)
+    return s._replace(poses=s.poses + 0.0 * bump)
+
+
+# --- phase: z build + gram -------------------------------------------------
+Lp, Cp = plan.pt_slot_gather.shape
+w_scaled0 = jax.device_put(
+    jnp.asarray(rng.normal(size=(plan.pt_pair_pose.shape[0], 6, 3)), jnp.float32),
+    dev,
+)
+
+
+def zbuild(w_scaled):
+    L, C = plan.pt_slot_gather.shape
+    w_comp = w_scaled.reshape(-1, 18)[plan.pt_slot_gather.reshape(-1)].reshape(
+        L, C, 18
+    )
+    onehot = (
+        (plan.pt_slot_pose[:, :, None] == jnp.arange(n_pose, dtype=plan.pt_slot_pose.dtype))
+        & plan.pt_slot_mask[:, :, None]
+    ).astype(jnp.float32)
+    z = jax.lax.dot_general(
+        onehot, w_comp, (((1,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).reshape(L, n_pose, 6, 3)
+    return w_scaled + 1e-30 * z[:, 0, 0, 0][:, None, None][: w_scaled.shape[0]]
+
+
+z0 = jax.device_put(
+    jnp.asarray(rng.normal(size=(Lp, n_pose, 6, 3)).astype(np.float32)), dev
+)
+
+
+def gram(z):
+    s = sm._sym_gram_split(z, (0, 3))
+    return z + 1e-30 * s[0, 0, 0, 0]
+
+
+# --- phase: cholesky + solves ----------------------------------------------
+a_np = rng.normal(size=(n_pose * 6, n_pose * 6)).astype(np.float32)
+s_spd = jax.device_put(
+    jnp.asarray(a_np @ a_np.T + 100.0 * np.eye(n_pose * 6, dtype=np.float32)), dev
+)
+rhs0 = jax.device_put(jnp.asarray(rng.normal(size=(n_pose * 6,)).astype(np.float32)), dev)
+
+
+def chol(rhs):
+    c = jnp.linalg.cholesky(s_spd + 1e-30 * rhs[0])
+    d = jax.scipy.linalg.cho_solve((c, True), rhs)
+    resid = rhs - jnp.einsum(
+        "ij,j->i", s_spd, d, precision=jax.lax.Precision.HIGHEST
+    )
+    d2 = d + jax.scipy.linalg.cho_solve((c, True), resid)
+    return rhs + 1e-30 * d2
+
+
+# --- phase: full step ------------------------------------------------------
+def step(carry):
+    s, radius = carry
+    delta, mcc, gmax = sm.compute_step(
+        s, cams, tables, plan, free, weights, radius, huber
+    )
+    return (s, radius + 0.0 * gmax)
+
+
+print(f"gram impl: {'split' if sm._use_split_gram(jnp.float32) else 'dot'} "
+      f"prec={sm._GRAM_PRECISION}", flush=True)
+t_resjac = chain(resjac, state, "resjac")
+t_zbuild = chain(zbuild, w_scaled0, "zbuild")
+t_gram = chain(gram, z0, "gram")
+t_chol = chain(chol, rhs0, "chol")
+t_step = chain(step, (state, jnp.asarray(1e4, jnp.float32)), "step")
+other = t_step - (t_resjac + t_zbuild + t_gram + t_chol)
+print(f"{'other':8s} {other * 1e3:8.3f} ms/iter (H/b assembly, RHS, backsub, "
+      "cost, ob/rel grams)", flush=True)
