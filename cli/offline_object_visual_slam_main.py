@@ -57,6 +57,21 @@ def main(argv=None):
         help="also shard sliding-window (local BA) solves on the mesh",
     )
     parser.add_argument(
+        "--detector_command",
+        default="",
+        help="live detector worker command (the /yolov5_detect_objs service "
+        "equivalent, bounding_box_retriever.h:33-171): a process speaking "
+        "newline-delimited JSON {image_path,...} -> {detections: [{label, "
+        "conf, xyxy}]}. Used for frames absent from "
+        "--bounding_boxes_by_node_id_file; requires --images_dir",
+    )
+    parser.add_argument(
+        "--images_dir",
+        default="",
+        help="frame images as <images_dir>/<camera_id>/<frame_id>.png for "
+        "the live detector path",
+    )
+    parser.add_argument(
         "--debug_images_output_directory",
         default="",
         help="dump per-frame bounding-box-association debug images here "
@@ -176,6 +191,28 @@ def main(argv=None):
     hooks = RunnerHooks(
         bb_frontend=make_bb_frontend_hook(bb_frontend) if bounding_boxes else None
     )
+    if args.detector_command:
+        import shlex
+
+        from obvi_slam_tpu.frontend.bb_retriever import (
+            SubprocessDetectorQuerier,
+            make_bb_frontend_hook_with_querier,
+        )
+
+        def _image_provider(frame_id, camera_id):
+            path = os.path.join(
+                args.images_dir, str(camera_id), f"{frame_id}.png"
+            )
+            if not os.path.exists(path):
+                return None
+            return path, img_hw.get(camera_id, (480, 640))
+
+        querier = SubprocessDetectorQuerier(
+            shlex.split(args.detector_command), _image_provider
+        )
+        hooks.bb_frontend = make_bb_frontend_hook_with_querier(
+            bb_frontend, querier, sorted(intrinsics.keys())
+        )
     if args.debug_images_output_directory:
         from obvi_slam_tpu.visualization import (
             SaveToFileVisualizer,
