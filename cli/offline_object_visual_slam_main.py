@@ -125,6 +125,8 @@ def main(argv=None):
     from obvi_slam_tpu.runner import OfflineProblemRunner, RunnerHooks
     from obvi_slam_tpu.timing import TimerRegistry
 
+    if args.logs_directory:
+        os.makedirs(args.logs_directory, exist_ok=True)
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname).1s %(name)s: %(message)s",

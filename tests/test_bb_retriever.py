@@ -132,3 +132,34 @@ class TestHookIntegration:
         assert calls == [missing]
         hook(data, None, missing)
         assert calls == [missing], "querier result must be cached in the data"
+
+
+class TestExtractAllBoundingBoxesCli:
+    def test_images_to_csv_roundtrip(self, tmp_path):
+        import subprocess
+        from pathlib import Path
+
+        from obvi_slam_tpu.io.readers import read_bounding_boxes_by_node_id
+
+        repo = Path(__file__).parent.parent
+        images = tmp_path / "images"
+        for cam in (1, 2):
+            (images / str(cam)).mkdir(parents=True)
+            for frame in range(3):
+                (images / str(cam) / f"{frame}.png").write_bytes(b"fake")
+        worker = write_worker(tmp_path, ECHO_WORKER)
+        out_csv = tmp_path / "bbs.csv"
+        r = subprocess.run(
+            [sys.executable, str(repo / "cli" / "extract_all_bounding_boxes.py"),
+             "--images_dir", str(images),
+             "--detector_command", " ".join(worker),
+             "--output_file", str(out_csv)],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        bbs = read_bounding_boxes_by_node_id(str(out_csv))
+        assert set(bbs) == {0, 1, 2}
+        assert set(bbs[0]) == {1, 2}
+        bb = bbs[0][1][0]
+        assert bb.semantic_class == "chair"
+        np.testing.assert_array_equal(bb.corners, [10, 110, 20, 220])
