@@ -26,6 +26,8 @@ from obvi_slam_tpu.solver import schur as sm
 from obvi_slam_tpu.synthetic import synthetic_problem
 
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+PHASES = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else {
+    "resjac", "zbuild", "gram", "chol", "step"}
 
 dev = [d for d in jax.devices() if d.platform != "cpu"][0]
 print("device:", dev, flush=True)
@@ -104,7 +106,7 @@ def zbuild(w_scaled):
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     ).reshape(L, n_pose, 6, 3)
-    return w_scaled + 1e-30 * z[:, 0, 0, 0][:, None, None][: w_scaled.shape[0]]
+    return w_scaled + 1e-30 * z[0, 0, 0, 0]
 
 
 z0 = jax.device_put(
@@ -146,11 +148,18 @@ def step(carry):
 
 print(f"gram impl: {'split' if sm._use_split_gram(jnp.float32) else 'dot'} "
       f"prec={sm._GRAM_PRECISION}", flush=True)
-t_resjac = chain(resjac, state, "resjac")
-t_zbuild = chain(zbuild, w_scaled0, "zbuild")
-t_gram = chain(gram, z0, "gram")
-t_chol = chain(chol, rhs0, "chol")
-t_step = chain(step, (state, jnp.asarray(1e4, jnp.float32)), "step")
-other = t_step - (t_resjac + t_zbuild + t_gram + t_chol)
-print(f"{'other':8s} {other * 1e3:8.3f} ms/iter (H/b assembly, RHS, backsub, "
-      "cost, ob/rel grams)", flush=True)
+t = {}
+if "resjac" in PHASES:
+    t["resjac"] = chain(resjac, state, "resjac")
+if "zbuild" in PHASES:
+    t["zbuild"] = chain(zbuild, w_scaled0, "zbuild")
+if "gram" in PHASES:
+    t["gram"] = chain(gram, z0, "gram")
+if "chol" in PHASES:
+    t["chol"] = chain(chol, rhs0, "chol")
+if "step" in PHASES:
+    t["step"] = chain(step, (state, jnp.asarray(1e4, jnp.float32)), "step")
+if len(t) == 5:
+    other = t["step"] - (t["resjac"] + t["zbuild"] + t["gram"] + t["chol"])
+    print(f"{'other':8s} {other * 1e3:8.3f} ms/iter (H/b assembly, RHS, "
+          "backsub, cost, ob/rel grams)", flush=True)
