@@ -143,7 +143,17 @@ def step(carry):
     delta, mcc, gmax = sm.compute_step(
         s, cams, tables, plan, free, weights, radius, huber
     )
-    return (s, radius + 0.0 * gmax)
+    # The carry must consume EVERY output (delta, mcc, gmax) or XLA dead-code
+    # eliminates the Schur solve and this measures only the gradient path
+    # (observed: 0.59 ms/iter "step" vs 4.5 ms of live phases).
+    bump = 1e-30 * (
+        gmax
+        + mcc
+        + jnp.sum(delta.poses)
+        + jnp.sum(delta.points)
+        + jnp.sum(delta.objects)
+    )
+    return (s, radius + bump)
 
 
 print(f"gram impl: {'split' if sm._use_split_gram(jnp.float32) else 'dot'} "
