@@ -87,20 +87,26 @@ def lm_iteration_flops(
     phase("landmark_block_inverses", n_point * 120 + n_obj * 1000 + n_pose * 600)
 
     # One-hot z build (MXU, value-bearing: full f32 accuracy passes).
-    z_build = 2.0 * Lp * Cp * n_pose * 18 + 2.0 * Lo * Co * n_pose * 42
+    # Banded layout shrinks the point one-hot to the 128-wide local window.
+    banded = getattr(plan, "pt_band_local_pose", None) is not None
+    pt_width = 2 * 64 if banded else n_pose
+    z_build = 2.0 * Lp * Cp * pt_width * 18 + 2.0 * Lo * Co * n_pose * 42
     phase("schur_z_build", z_build, z_build * value_passes)
 
-    # Schur grams: the dominant matmuls (S assembly).
+    # Schur grams: the dominant matmuls (S assembly). With the band layout
+    # the point gram runs as G batched (768, Lg*3, 768) group grams instead
+    # of one (6P, 3Lp, 6P).
     g_passes = _gram_passes(gram_precision, split_gram)
+    pt_gram_width = 6 * pt_width
     gram = (
-        2.0 * d6 * d6 * (Lp * 3)        # point-landmark gram
+        2.0 * pt_gram_width * pt_gram_width * (Lp * 3)  # point gram
         + 2.0 * d6 * d6 * (Lo * 7)      # object gram
         + 2.0 * d6 * d6 * (6 * (F_rl + n_pose))  # relpose+diag gram
     )
     phase("schur_gram", gram, gram * g_passes)
 
     # Reduced RHS + back-substitution coupling contractions (MXU, HIGHEST).
-    rhs = 2.0 * (Lp * 3 + Lo * 7) * d6 * 2  # b_S fold + W^T delta fold
+    rhs = 2.0 * (Lp * 3 * pt_gram_width + Lo * 7 * d6) * 2  # b_S + W^T delta
     phase("reduced_rhs_backsub", rhs, rhs * value_passes)
 
     # Dense Cholesky of S + two triangular solves + refinement matvec.

@@ -87,6 +87,8 @@ def shard_plan(plan, mesh, axis_name=FACTOR_AXIS):
     repl = NamedSharding(mesh, P())
 
     def put(name, x):
+        if x is None:  # optional plan fields (pt_band_local_pose)
+            return None
         sharded_fields = {
             "rp_factor_pair",
             "bb_factor_pair",

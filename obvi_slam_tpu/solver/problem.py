@@ -533,11 +533,13 @@ def build_problem(
             "ob_dest",
             "ob_slot_land",
             "ob_slot_c",
+            "pt_band_lg",
         )
         if k in caps
     }
     plan = schur_mod.build_schur_plan_host(
-        rp_pose, rp_point, rp_cap, bb_pose, bb_obj, bb_cap, plan_caps or None
+        rp_pose, rp_point, rp_cap, bb_pose, bb_obj, bb_cap, plan_caps or None,
+        n_pose=int(state.poses.shape[0]),
     )
 
     if residual_params is not None:
@@ -613,6 +615,11 @@ def observed_caps(problem: "Problem") -> dict:
         "ob_dest": p.ob_dest_a.shape[0],
         "ob_slot_land": p.ob_slot_gather.shape[0],
         "ob_slot_c": p.ob_slot_gather.shape[1],
+        "pt_band_lg": (
+            p.pt_band_local_pose.shape[1]
+            if p.pt_band_local_pose is not None
+            else 0
+        ),
     }
 
 

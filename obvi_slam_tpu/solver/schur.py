@@ -121,6 +121,17 @@ class SchurPlan(NamedTuple):
     ob_slot_pose: jnp.ndarray  # (Lo, Co)
     ob_slot_mask: jnp.ndarray  # (Lo, Co)
     ob_slot_land: jnp.ndarray  # (Lo,) object index per slot row
+    # Banded point-gram layout (present only when every observed point's
+    # pose span fits a 2-tile local window, _band_layout): the pt_slot_*
+    # arrays above are then ROW-REORDERED by 64-pose "home tile" into
+    # ceil(P/64) groups of Lg rows each, and this (G, Lg, Cp) array holds
+    # each slot's pose index RELATIVE to its group's first pose (in
+    # [0, 128)). Feature tracks span a handful of consecutive frames, so
+    # the Schur point subtraction only couples near-diagonal pose pairs —
+    # the gram then runs as G batched (768, Lg*3, 768) grams instead of one
+    # (6P, 3L, 6P): 4x fewer MXU FLOPs at P=256, growing as (P/128)^2.
+    # None -> dense gram (wide spans after loop closures, tiny windows).
+    pt_band_local_pose: jnp.ndarray = None  # (G, Lg, Cp) or None
 
 
 def _round_up(n, bucket=64):
@@ -173,6 +184,67 @@ def _slot_layout(pair_block, pair_land, n_pairs, land_cap=None, cmax_cap=None):
     mask[rows, slot] = True
     land[:n_land] = uniq_land.astype(np.int32) if n_land else land[:0]
     return gather, pose, mask, land
+
+
+# Poses per band group; each group's local pose window is 2*_BAND_TP wide,
+# so a landmark fits iff max_pose < 64*(min_pose//64) + 128 (always true for
+# feature tracks up to 65 consecutive frames; loop-closure re-observations
+# fall back to the dense gram).
+_BAND_TP = 64
+
+
+def _band_layout(slot_gather, slot_pose, slot_mask, slot_land, n_pose,
+                 lg_cap=None):
+    """Regroup slot-grid rows by 64-pose home tile for the banded gram.
+
+    Returns None when banding does not apply (pose count too small to
+    benefit, no live rows, or some live landmark's pose span exceeds the
+    2-tile window); otherwise (gather, pose, mask, land, local_pose) — the
+    reordered slot grid (rows of group g occupy [g*Lg, g*Lg+count_g)) plus
+    the (G, Lg, C) per-slot LOCAL pose array whose shape carries (G, Lg).
+
+    Reordering the slot rows is free for every consumer: the row order of
+    the slot grid is arbitrary (column order under the gram is free, and
+    RHS/backsub address landmarks through slot_land)."""
+    if n_pose is None or n_pose < 3 * _BAND_TP:
+        return None
+    slot_pose = np.asarray(slot_pose)
+    slot_mask = np.asarray(slot_mask)
+    live_row = slot_mask.any(axis=1)
+    if not live_row.any():
+        return None
+    min_p = np.where(slot_mask, slot_pose, np.iinfo(np.int32).max).min(axis=1)
+    max_p = np.where(slot_mask, slot_pose, -1).max(axis=1)
+    n_group = -(-int(n_pose) // _BAND_TP)
+    home = np.clip(
+        np.where(live_row, min_p // _BAND_TP, 0), 0, n_group - 1
+    ).astype(np.int64)
+    if np.any(live_row & (max_p - home * _BAND_TP >= 2 * _BAND_TP)):
+        return None
+    counts = np.bincount(home[live_row], minlength=n_group)
+    lg = max(lg_cap or 0, _round_up(int(counts.max()), bucket=64))
+    L, C = slot_mask.shape
+    rows = np.nonzero(live_row)[0]
+    order = rows[np.argsort(home[rows], kind="stable")]
+    within = np.arange(len(order)) - np.concatenate(
+        ([0], np.cumsum(counts)[:-1])
+    )[home[order]]
+    dest = home[order] * lg + within
+    gather = np.zeros((n_group * lg, C), dtype=np.int32)
+    pose = np.zeros((n_group * lg, C), dtype=np.int32)
+    mask = np.zeros((n_group * lg, C), dtype=bool)
+    land = np.zeros(n_group * lg, dtype=np.int32)
+    local = np.zeros((n_group * lg, C), dtype=np.int32)
+    gather[dest] = np.asarray(slot_gather)[order]
+    pose[dest] = slot_pose[order]
+    mask[dest] = slot_mask[order]
+    land[dest] = np.asarray(slot_land)[order]
+    local[dest] = np.where(
+        slot_mask[order],
+        slot_pose[order] - (home[order] * _BAND_TP)[:, None],
+        0,
+    )
+    return gather, pose, mask, land, local.reshape(n_group, lg, C)
 
 
 def _build_pairs(
@@ -316,7 +388,8 @@ def _build_pairs(
 
 
 def build_schur_plan_host(
-    rp_pose, rp_point, rp_cap, bb_pose, bb_obj, bb_cap, caps=None
+    rp_pose, rp_point, rp_cap, bb_pose, bb_obj, bb_cap, caps=None,
+    n_pose=None,
 ) -> SchurPlan:
     """Plan construction from HOST (numpy/list) index arrays.
 
@@ -353,10 +426,10 @@ def build_schur_plan_host(
     t = _HostTables()
     t.reproj = _HostTable(rp_pose_a, rp_point_a, rp_mask)
     t.bbox = _HostTable(bb_pose_a, bb_obj_a, bb_mask)
-    return build_schur_plan(t, caps)
+    return build_schur_plan(t, caps, n_pose=n_pose)
 
 
-def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
+def build_schur_plan(tables: FactorTables, caps=None, n_pose=None) -> SchurPlan:
     """Host-side plan construction from (numpy views of) the factor tables.
 
     NOTE: if the tables hold device arrays this reads the index columns back
@@ -419,7 +492,22 @@ def build_schur_plan(tables: FactorTables, caps=None) -> SchurPlan:
         caps.get("ob_slot_c"),
         caps.get("ob_dest"),
     )
+    pt_band_local_pose = None
+    band = _band_layout(
+        pt_slot_gather, pt_slot_pose, pt_slot_mask, pt_slot_land,
+        n_pose, caps.get("pt_band_lg"),
+    )
+    if band is not None:
+        (
+            pt_slot_gather,
+            pt_slot_pose,
+            pt_slot_mask,
+            pt_slot_land,
+            pt_band_local_pose,
+        ) = band
+        pt_band_local_pose = jnp.asarray(pt_band_local_pose)
     return SchurPlan(
+        pt_band_local_pose=pt_band_local_pose,
         rp_factor_pair=jnp.asarray(rp_factor_pair),
         pt_pair_pose=jnp.asarray(pt_pair_pose),
         pt_pair_point=jnp.asarray(pt_pair_point),
@@ -481,6 +569,23 @@ def _use_split_gram(dtype) -> bool:
     if _GRAM_IMPL == "split":
         return True
     return dtype == jnp.float32 and jax.default_backend() == "tpu"
+
+
+def _use_syrk(dtype) -> bool:
+    """Gate for the fused triangular syrk Pallas kernel (ops/syrk_pallas):
+    computes only the lower-triangle tiles with the bf16 split done in VMEM.
+
+    OPT-IN ONLY (``OBVI_GRAM_IMPL=syrk``): measured on v5e (r2), the kernel
+    is ~8% SLOWER than the XLA split gram on the bench shapes (2.00 vs
+    1.85 ms for the 3x(4096, 1536) gram) — the ~20% MXU-pass saving from
+    the triangular walk is eaten by re-splitting each operand panel in VMEM
+    once per consuming tile (~5x redundancy) plus the mirror epilogue. Kept
+    for problems where a pre-split variant or different tiling wins."""
+    if _GRAM_IMPL != "syrk":
+        return False
+    from obvi_slam_tpu import ops as ops_mod
+
+    return dtype == jnp.float32 and ops_mod.pallas_supported()
 
 
 def _split_bf16(x, parts):
@@ -547,6 +652,31 @@ def _sym_gram_split(z, dims):
         hl = dot(h, l)
         return dot(h, h) + (hl + hl.transpose(mirror))
     return dot(z.astype(jnp.bfloat16), z.astype(jnp.bfloat16))
+
+
+def _sym_gram_split_batched(z):
+    """Batched symmetric split gram: z (G, K, W) -> (G, W, W) = zᵀz per
+    batch, same pass structure as _sym_gram_split (mirror pairs share one
+    MXU pass; the mirror transpose swaps the two W axes)."""
+    dn = (((1,), (1,)), ((0,), (0,)))
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, dn, preferred_element_type=jnp.float32)
+
+    def mirror(x):
+        return jnp.swapaxes(x, 1, 2)
+
+    if _GRAM_PRECISION == jax.lax.Precision.HIGHEST:
+        h, m, l = _split_bf16(z, 3)
+        hm = dot(h, m)
+        hl = dot(h, l)
+        return dot(h, h) + dot(m, m) + (hm + mirror(hm)) + (hl + mirror(hl))
+    if _GRAM_PRECISION == jax.lax.Precision.HIGH:
+        h, l = _split_bf16(z, 2)
+        hl = dot(h, l)
+        return dot(h, h) + (hl + mirror(hl))
+    zb = z.astype(jnp.bfloat16)
+    return dot(zb, zb)
 # Small block einsums (W G, G^T b, per-factor outer products) must never be
 # rounded to bf16 — they carry solver values, not redundant passes.
 _P_HI = jax.lax.Precision.HIGHEST
@@ -673,6 +803,7 @@ def compute_step(
     # XLA analytic path elsewhere.
     from obvi_slam_tpu import ops as ops_mod
     from obvi_slam_tpu.factors.reproj_fast import reproj_residuals_and_jac_fast
+    from obvi_slam_tpu.ops import syrk_pallas as ops_syrk
 
     if ops_mod.pallas_supported():
         r_rp, j_rp_pose, j_rp_point = ops_mod.reproj_residuals_and_jac_pallas(
@@ -927,50 +1058,142 @@ def compute_step(
             blocks, mode="drop", unique_indices=True
         )
 
-    def _slot_gram(w_scaled_blocks, slot_gather, slot_pose, slot_mask, bw):
+    def _slot_gram(
+        w_scaled_blocks, slot_gather, slot_pose, slot_mask, bw,
+        band_local=None,
+    ):
         """Schur subtraction Σ_l U_l U_l^T entirely on the MXU.
 
         Uses the plan's per-landmark slot grid: a one-hot contraction over
         slots places each (6, bw) pair block at its pose row
-        (z[l, p] = W_{p,l} G_l — exact, since every (l, p) output sums exactly
-        one nonzero product and HIGHEST keeps f32 operands unrounded), then
-        one gram over (landmark, bw) yields all -W_a Hxx^-1 W_b^T blocks.
-        Replaces the element scatter that built a dense U — the scatter
-        (sort + ~5-6 ns/element) was the LM step's single biggest op
-        (2.2 ms/iter profiled); the one-hot build + block matmul run at
-        HBM/MXU speed (~0.3 ms)."""
+        (z_b[l, p] = (W_{p,l} G_l)[:, b] — exact, since every (l, p) output
+        sums exactly one nonzero product and HIGHEST keeps f32 operands
+        unrounded), then a gram over the landmark dim yields all
+        -W_a Hxx^-1 W_b^T blocks. Replaces the element scatter that built a
+        dense U — the scatter (sort + ~5-6 ns/element) was the LM step's
+        single biggest op (2.2 ms/iter profiled); the one-hot build + block
+        matmul run at HBM/MXU speed.
+
+        z is produced as ``bw`` separate (L, P, 6) tensors (one per landmark
+        block column) instead of one (L, P, 6, bw): each z_b reshapes FREELY
+        to the (K, M) landmark-major matrix the Pallas triangular syrk kernel
+        consumes (ops/syrk_pallas.py) — contraction over the leading dim,
+        no relayout. The 4-D form would put bw in the minor dim, forcing a
+        75 MB transpose to feed any (K, M) gram.
+        NOTE: a "matricize once" variant (z pre-transposed to
+        (n_pose*6, L*bw) shared by gram / reduced-RHS / back-substitution)
+        was tried and is 33% SLOWER end-to-end on TPU (97 vs 146 it/s on
+        the bench problem): the explicit transpose copy of the ~75 MB
+        buffer costs more than the per-consumer layout assignments XLA
+        picks. The per-b (L, P, 6) tensors keep (P, 6) minor-contiguous for
+        every consumer, so no such transpose exists anywhere."""
         L, C = slot_gather.shape
         w_comp = w_scaled_blocks.reshape(-1, 6 * bw)[
             slot_gather.reshape(-1)
-        ].reshape(L, C, 6 * bw)
+        ].reshape(L, C, 6, bw)
+        if band_local is not None:
+            # Banded gram: one-hot over the 128-wide LOCAL pose window, ONE
+            # batched group gram, staggered add onto the padded dense S.
+            #
+            # Layout: one N=18 dot (b-major w columns) emits
+            # z (L, bw, 6, 128) — the (bw) block column lands NEXT TO the
+            # landmark dim so (Lg, bw) merge into a single 3Lg-deep
+            # contraction per group with zero relayout; the (c, p) output
+            # order is permuted back to (p, c) once on the SMALL (G, 768,
+            # 768) group result. Measured (r2, v5e): 3 separate per-b N=6
+            # dots + 3 gram epilogues ran at 2.6 ms; this form ~1.0 ms.
+            n_group, lg, _ = band_local.shape
+            width = 2 * _BAND_TP  # 128 local poses
+            w_band = 6 * width  # 768
+            onehot = (
+                (
+                    band_local.reshape(L, C)[:, :, None]
+                    == jnp.arange(width, dtype=band_local.dtype)
+                )
+                & slot_mask[:, :, None]
+            ).astype(dtype)
+            w_bt = jnp.swapaxes(w_comp, 2, 3).reshape(L, C, bw * 6)
+            z4 = jax.lax.dot_general(
+                w_bt,
+                onehot,
+                (((1,), (1,)), ((0,), (0,))),
+                precision=_P_HI,
+                preferred_element_type=dtype,
+            )  # (L, bw*6, 128): dims (l, (b, c), p)
+            zg = z4.reshape(n_group, lg, bw, 6 * width).reshape(
+                n_group, lg * bw, 6 * width
+            )  # contraction rows (l, b); columns (c, p)
+            if split_gram:
+                sg = _sym_gram_split_batched(zg)
+            else:
+                sg = jax.lax.dot_general(
+                    zg,
+                    zg,
+                    (((1,), (1,)), ((0,), (0,))),
+                    precision=_GRAM_PRECISION,
+                    preferred_element_type=dtype,
+                )  # (G, 768, 768) in (c, p) x (c, p) order
+            sg = (
+                sg.reshape(n_group, 6, width, 6, width)
+                .transpose(0, 2, 1, 4, 3)
+                .reshape(n_group, w_band, w_band)
+            )  # -> (p, c) x (p, c)
+            pad = 6 * _BAND_TP * (n_group + 1)
+            big = jnp.zeros((pad, pad), dtype)
+            for g in range(n_group):
+                off = 6 * _BAND_TP * g
+                cur = jax.lax.dynamic_slice(big, (off, off), (w_band, w_band))
+                big = jax.lax.dynamic_update_slice(
+                    big, cur + sg[g], (off, off)
+                )
+            return big[: n_pose * 6, : n_pose * 6], zg
         onehot = (
             (slot_pose[:, :, None] == jnp.arange(n_pose, dtype=slot_pose.dtype))
             & slot_mask[:, :, None]
         ).astype(dtype)
-        z = jax.lax.dot_general(
-            onehot,
-            w_comp,
-            (((1,), (1,)), ((0,), (0,))),
-            precision=_P_HI,
-            preferred_element_type=dtype,
-        ).reshape(L, n_pose, 6, bw)
-        # NOTE: a "matricize once" variant (z pre-transposed to
-        # (n_pose*6, L*bw) shared by gram / reduced-RHS / back-substitution)
-        # was tried and is 33% SLOWER end-to-end on TPU (97 vs 146 it/s on
-        # the bench problem): the explicit transpose copy of the ~75 MB
-        # buffer costs more than the per-consumer layout assignments XLA
-        # picks for the 4-D form. Keep the 4-D z.
-        if split_gram:
-            s = _sym_gram_split(z, (0, 3))  # (P, 6, P, 6)
-        else:
-            s = jax.lax.dot_general(
-                z,
-                z,
-                (((0, 3), (0, 3)), ((), ())),
-                precision=_GRAM_PRECISION,
+        z_bs = tuple(
+            jax.lax.dot_general(
+                onehot,
+                w_comp[..., b],
+                (((1,), (1,)), ((0,), (0,))),
+                precision=_P_HI,
                 preferred_element_type=dtype,
+            )  # (L, P, 6)
+            for b in range(bw)
+        )
+        tile_m = ops_syrk.syrk_tile_m(n_pose * 6) if _use_syrk(dtype) else None
+        if tile_m is not None and L % 256 == 0 and L >= 1024:
+            parts = {
+                jax.lax.Precision.HIGHEST: 3,
+                jax.lax.Precision.HIGH: 2,
+            }.get(_GRAM_PRECISION, 1)
+            tile_k = 512 if L % 512 == 0 else 256
+            s = ops_syrk.mirror_lower(
+                sum(
+                    ops_syrk.syrk_lower_split(
+                        z.reshape(L, n_pose * 6),
+                        parts=parts,
+                        tile_m=tile_m,
+                        tile_k=tile_k,
+                    )
+                    for z in z_bs
+                )
+            )
+            return s, z_bs
+        if split_gram:
+            s = sum(_sym_gram_split(z, (0,)) for z in z_bs)  # (P, 6, P, 6)
+        else:
+            s = sum(
+                jax.lax.dot_general(
+                    z,
+                    z,
+                    (((0,), (0,)), ((), ())),
+                    precision=_GRAM_PRECISION,
+                    preferred_element_type=dtype,
+                )
+                for z in z_bs
             )  # (P, 6, P, 6)
-        return s.reshape(n_pose * 6, n_pose * 6), z
+        return s.reshape(n_pose * 6, n_pose * 6), z_bs
 
     # One-hot size gate: for extreme landmark degree (C ~ P) the slot grid's
     # one-hot exceeds the dense-U buffer it replaces — fall back to scatter.
@@ -982,6 +1205,14 @@ def compute_step(
     ob_slot_ok = (
         plan.ob_slot_gather.shape[0] * plan.ob_slot_gather.shape[1] * n_pose
         <= _slot_budget
+    )
+    # Banded point gram applies when the plan carries the band layout AND
+    # the runtime pose count fits the group coverage (the plan may have been
+    # built for a smaller pose capacity).
+    pt_band = (
+        plan.pt_band_local_pose is not None
+        and n_pose
+        <= _BAND_TP * (plan.pt_band_local_pose.shape[0] + 1)
     )
 
     s_sub2 = None
@@ -1006,6 +1237,7 @@ def compute_step(
                 plan.pt_slot_pose,
                 plan.pt_slot_mask,
                 3,
+                band_local=plan.pt_band_local_pose if pt_band else None,
             )
         else:
             u2 = _dense_from_pairs(
@@ -1141,25 +1373,58 @@ def compute_step(
     if z_pt is not None:
         g_ll_slot = g_ll[plan.pt_slot_land]
         y_pt = (g_ll_slot * b_l[plan.pt_slot_land][:, :, None]).sum(1)
-        b_s = b_s - jax.lax.dot_general(
-            z_pt,
-            y_pt,
-            (((0, 3), (0, 1)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=dtype,
-        )
+        if pt_band:
+            n_group, k_rows, w_band = z_pt.shape
+            width = w_band // 6
+            lg = k_rows // 3
+            y4 = y_pt.reshape(n_group, k_rows)  # (l, b) row order matches z
+            contrib = jax.lax.dot_general(
+                z_pt,
+                y4,
+                (((1,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=dtype,
+            )  # (G, 768) in (c, p) order
+            contrib = (
+                contrib.reshape(n_group, 6, width)
+                .transpose(0, 2, 1)
+                .reshape(n_group, w_band)
+            )  # -> (p, c)
+            pad = 6 * _BAND_TP * (n_group + 1)
+            flat = jnp.zeros((pad,), dtype)
+            for g in range(n_group):
+                off = 6 * _BAND_TP * g
+                cur = jax.lax.dynamic_slice(flat, (off,), (w_band,))
+                flat = jax.lax.dynamic_update_slice(
+                    flat, cur + contrib[g], (off,)
+                )
+            b_s = b_s - flat[: n_pose * 6].reshape(n_pose, 6)
+        else:
+            b_s = b_s - sum(
+                jax.lax.dot_general(
+                    z_b,
+                    y_pt[:, b],
+                    (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=dtype,
+                )
+                for b, z_b in enumerate(z_pt)
+            )
     else:
         wb_pt = geo.bmv(w_pt, geo.bmv(h_ll_inv[plan.pt_pair_point], b_l[plan.pt_pair_point]))
         b_s = b_s.at[plan.pt_pair_pose].add(-wb_pt)
     if z_ob is not None:
         g_oo_slot = g_oo[plan.ob_slot_land]
         y_ob = (g_oo_slot * b_o[plan.ob_slot_land][:, :, None]).sum(1)
-        b_s = b_s - jax.lax.dot_general(
-            z_ob,
-            y_ob,
-            (((0, 3), (0, 1)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=dtype,
+        b_s = b_s - sum(
+            jax.lax.dot_general(
+                z_b,
+                y_ob[:, b],
+                (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=dtype,
+            )
+            for b, z_b in enumerate(z_ob)
         )
     else:
         wb_ob = geo.bmv(w_ob, geo.bmv(h_oo_inv[plan.ob_pair_obj], b_o[plan.ob_pair_obj]))
@@ -1208,13 +1473,48 @@ def compute_step(
     # prior-only landmarks absent from the slot grid.
     if z_pt is not None:
         delta_l = geo.bmv(h_ll_inv, b_l)
-        q_pt = jax.lax.dot_general(
-            z_pt,
-            delta_p,
-            (((1, 2), (0, 1)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=dtype,
-        )  # (L, 3) = G^T W^T delta_p
+        if pt_band:
+            n_group, k_rows, w_band = z_pt.shape
+            width = w_band // 6
+            pad = 6 * _BAND_TP * (n_group + 1)
+            dp_flat = jnp.zeros((pad,), dtype)
+            dp_flat = jax.lax.dynamic_update_slice(
+                dp_flat, delta_p.reshape(-1), (0,)
+            )
+            windows = jnp.stack(
+                [
+                    jax.lax.dynamic_slice(
+                        dp_flat, (6 * _BAND_TP * g,), (w_band,)
+                    )
+                    for g in range(n_group)
+                ]
+            )  # (G, 768) in (p, c) order
+            windows = (
+                windows.reshape(n_group, width, 6)
+                .transpose(0, 2, 1)
+                .reshape(n_group, w_band)
+            )  # -> (c, p), matching z columns
+            q_pt = jax.lax.dot_general(
+                z_pt,
+                windows,
+                (((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=dtype,
+            ).reshape(-1, 3)  # (G, Lg*3) -> (L, 3), rows are (l, b)
+        else:
+            q_pt = jnp.stack(
+                [
+                    jax.lax.dot_general(
+                        z_b,
+                        delta_p,
+                        (((1, 2), (0, 1)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=dtype,
+                    )
+                    for z_b in z_pt
+                ],
+                axis=1,
+            )  # (L, 3) = G^T W^T delta_p
         corr = geo.bmv(g_ll_slot, q_pt)
         live_row = jnp.any(plan.pt_slot_mask, axis=1)
         safe_land = jnp.where(live_row, plan.pt_slot_land, n_point)
@@ -1230,12 +1530,18 @@ def compute_step(
     delta_l = delta_l * (~ll_singular[:, None]) * point_free[:, None]
     if z_ob is not None:
         delta_o = geo.bmv(h_oo_inv, b_o)
-        q_ob = jax.lax.dot_general(
-            z_ob,
-            delta_p,
-            (((1, 2), (0, 1)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=dtype,
+        q_ob = jnp.stack(
+            [
+                jax.lax.dot_general(
+                    z_b,
+                    delta_p,
+                    (((1, 2), (0, 1)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=dtype,
+                )
+                for z_b in z_ob
+            ],
+            axis=1,
         )  # (Lo, 7)
         corr_o = geo.bmv(g_oo_slot, q_ob)
         live_row_o = jnp.any(plan.ob_slot_mask, axis=1)

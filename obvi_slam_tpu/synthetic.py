@@ -219,6 +219,7 @@ def synthetic_problem(
         flat_o_pose[keep_o],
         flat_o_obj[keep_o],
         bbox.capacity,
+        n_pose=n_poses,
     )
 
     state_gt = T.BAState(

@@ -92,31 +92,82 @@ w_scaled0 = jax.device_put(
 )
 
 
+_BAND = plan.pt_band_local_pose is not None
+if _BAND:
+    _G, _LG, _ = plan.pt_band_local_pose.shape
+
+
 def zbuild(w_scaled):
+    """Mirror of the current _slot_gram z build: banded (128-wide local
+    one-hot, one b-major N=18 dot) when the plan has the band layout, else
+    the full P-wide one-hot with 3 per-b dots."""
     L, C = plan.pt_slot_gather.shape
     w_comp = w_scaled.reshape(-1, 18)[plan.pt_slot_gather.reshape(-1)].reshape(
-        L, C, 18
+        L, C, 6, 3
     )
+    if _BAND:
+        onehot = (
+            (plan.pt_band_local_pose.reshape(L, C)[:, :, None]
+             == jnp.arange(128, dtype=plan.pt_slot_pose.dtype))
+            & plan.pt_slot_mask[:, :, None]
+        ).astype(jnp.float32)
+        w_bt = jnp.swapaxes(w_comp, 2, 3).reshape(L, C, 18)
+        z4 = jax.lax.dot_general(
+            w_bt, onehot, (((1,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (L, 18, 128)
+        return w_scaled + 1e-30 * z4[0, 0, 0]
     onehot = (
-        (plan.pt_slot_pose[:, :, None] == jnp.arange(n_pose, dtype=plan.pt_slot_pose.dtype))
+        (plan.pt_slot_pose[:, :, None]
+         == jnp.arange(n_pose, dtype=plan.pt_slot_pose.dtype))
         & plan.pt_slot_mask[:, :, None]
     ).astype(jnp.float32)
-    z = jax.lax.dot_general(
-        onehot, w_comp, (((1,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    ).reshape(L, n_pose, 6, 3)
-    return w_scaled + 1e-30 * z[0, 0, 0, 0]
+    bump = 0.0
+    for b in range(3):
+        z = jax.lax.dot_general(
+            onehot, w_comp[..., b], (((1,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        bump = bump + 1e-30 * z[0, 0, 0]
+    return w_scaled + bump
 
 
-z0 = jax.device_put(
-    jnp.asarray(rng.normal(size=(Lp, n_pose, 6, 3)).astype(np.float32)), dev
-)
+if _BAND:
+    z0 = (
+        jax.device_put(
+            jnp.asarray(
+                rng.normal(size=(_G, 3 * _LG, 768)).astype(np.float32)
+            ),
+            dev,
+        ),
+    )
 
+    def gram(zs):
+        zg = zs[0]
+        s = sm._sym_gram_split_batched(zg)
+        s = (
+            s.reshape(_G, 6, 128, 6, 128)
+            .transpose(0, 2, 1, 4, 3)
+            .reshape(_G, 768, 768)
+        )
+        return (zg + 1e-30 * s[0, 0, 0],)
 
-def gram(z):
-    s = sm._sym_gram_split(z, (0, 3))
-    return z + 1e-30 * s[0, 0, 0, 0]
+else:
+    z0 = tuple(
+        jax.device_put(
+            jnp.asarray(
+                rng.normal(size=(Lp, n_pose, 6)).astype(np.float32)
+            ),
+            dev,
+        )
+        for _ in range(3)
+    )
+
+    def gram(zs):
+        s = sum(sm._sym_gram_split(z, (0,)) for z in zs)
+        return tuple(z + 1e-30 * s[0, 0, 0, 0] for z in zs)
 
 
 # --- phase: cholesky + solves ----------------------------------------------
@@ -135,6 +186,30 @@ def chol(rhs):
     )
     d2 = d + jax.scipy.linalg.cho_solve((c, True), resid)
     return rhs + 1e-30 * d2
+
+
+# chol sub-phases: factorization vs triangular solves vs matvec.
+l_fixed = np.linalg.cholesky(
+    a_np @ a_np.T + 100.0 * np.eye(n_pose * 6, dtype=np.float32)
+).astype(np.float32)
+l_dev = jax.device_put(jnp.asarray(l_fixed), dev)
+
+
+def chol_fact(rhs):
+    c = jnp.linalg.cholesky(s_spd + 1e-30 * rhs[0])
+    return rhs + 1e-30 * c[0, 0]
+
+
+def chol_solve(rhs):
+    d = jax.scipy.linalg.cho_solve((l_dev, True), rhs)
+    return rhs + 1e-30 * d[0]
+
+
+def chol_matvec(rhs):
+    d = jnp.einsum(
+        "ij,j->i", s_spd, rhs, precision=jax.lax.Precision.HIGHEST
+    )
+    return rhs + 1e-30 * d[0]
 
 
 # --- phase: full step ------------------------------------------------------
@@ -167,6 +242,10 @@ if "gram" in PHASES:
     t["gram"] = chain(gram, z0, "gram")
 if "chol" in PHASES:
     t["chol"] = chain(chol, rhs0, "chol")
+if "cholsub" in PHASES:
+    t["chol_fact"] = chain(chol_fact, rhs0, "chol_fact")
+    t["chol_solve"] = chain(chol_solve, rhs0, "chol_solve")
+    t["chol_matvec"] = chain(chol_matvec, rhs0, "chol_matvec")
 if "step" in PHASES:
     t["step"] = chain(step, (state, jnp.asarray(1e4, jnp.float32)), "step")
 if len(t) == 5:
