@@ -534,12 +534,16 @@ def build_problem(
             "ob_slot_land",
             "ob_slot_c",
             "pt_band_lg",
+            "rel_band_lg",
         )
         if k in caps
     }
     plan = schur_mod.build_schur_plan_host(
         rp_pose, rp_point, rp_cap, bb_pose, bb_obj, bb_cap, plan_caps or None,
         n_pose=int(state.poses.shape[0]),
+        rl_before=rows_of(frames_arr, rl_b_ids),
+        rl_after=rows_of(frames_arr, rl_a_ids),
+        rl_cap=rl_cap,
     )
 
     if residual_params is not None:
@@ -618,6 +622,11 @@ def observed_caps(problem: "Problem") -> dict:
         "pt_band_lg": (
             p.pt_band_local_pose.shape[1]
             if p.pt_band_local_pose is not None
+            else 0
+        ),
+        "rel_band_lg": (
+            p.rel_band_local_pose.shape[1]
+            if p.rel_band_local_pose is not None
             else 0
         ),
     }

@@ -132,6 +132,17 @@ class SchurPlan(NamedTuple):
     # (6P, 3L, 6P): 4x fewer MXU FLOPs at P=256, growing as (P/128)^2.
     # None -> dense gram (wide spans after loop closures, tiny windows).
     pt_band_local_pose: jnp.ndarray = None  # (G, Lg, Cp) or None
+    # Banded relpose+pose-diagonal gram layout (same group structure):
+    # "landmark" rows are relpose factors (2 slots: before-pose J_bᵀ,
+    # after-pose J_aᵀ) followed by one single-slot row per pose for its
+    # damped-diagonal Cholesky factor. Row r's slots gather into the
+    # runtime concat [J_bᵀ (R rows), J_aᵀ (R), L_diag (P)]. Present only
+    # when every live relpose factor's pose pair fits the 2-tile window
+    # (consecutive-frame factors do; PGO loop closures fall back to the
+    # dense v_rel gram).
+    rel_band_gather: jnp.ndarray = None  # (L2, 2) -> stacked block row
+    rel_band_mask: jnp.ndarray = None  # (L2, 2)
+    rel_band_local_pose: jnp.ndarray = None  # (G, Lg2, 2)
 
 
 def _round_up(n, bucket=64):
@@ -245,6 +256,38 @@ def _band_layout(slot_gather, slot_pose, slot_mask, slot_land, n_pose,
         0,
     )
     return gather, pose, mask, land, local.reshape(n_group, lg, C)
+
+
+def _rel_band_layout(rl_before, rl_after, rl_cap, n_pose, lg_cap=None):
+    """Band layout for the relpose + pose-diagonal gram (see SchurPlan
+    docstring): rows = rl_cap relpose factors (2 slots gathering J_bᵀ at
+    index k and J_aᵀ at rl_cap + k of the runtime block stack) + one
+    single-slot diagonal row per pose (gathering 2*rl_cap + p). Returns
+    (gather, mask, local_pose) or None when banding does not apply."""
+    if n_pose is None or n_pose < 3 * _BAND_TP:
+        return None
+    rl_before = np.asarray(rl_before, dtype=np.int64)
+    rl_after = np.asarray(rl_after, dtype=np.int64)
+    n_live = len(rl_before)
+    n_rows = rl_cap + n_pose
+    gather = np.zeros((n_rows, 2), np.int32)
+    pose = np.zeros((n_rows, 2), np.int32)
+    mask = np.zeros((n_rows, 2), bool)
+    gather[:rl_cap, 0] = np.arange(rl_cap)
+    gather[:rl_cap, 1] = rl_cap + np.arange(rl_cap)
+    pose[:n_live, 0] = rl_before
+    pose[:n_live, 1] = rl_after
+    mask[:n_live, :] = True
+    gather[rl_cap:, 0] = 2 * rl_cap + np.arange(n_pose)
+    pose[rl_cap:, 0] = np.arange(n_pose)
+    mask[rl_cap:, 0] = True
+    out = _band_layout(
+        gather, pose, mask, np.zeros(n_rows, np.int32), n_pose, lg_cap
+    )
+    if out is None:
+        return None
+    g2, _, m2, _, local = out
+    return g2, m2, local
 
 
 def _build_pairs(
@@ -389,7 +432,7 @@ def _build_pairs(
 
 def build_schur_plan_host(
     rp_pose, rp_point, rp_cap, bb_pose, bb_obj, bb_cap, caps=None,
-    n_pose=None,
+    n_pose=None, rl_before=None, rl_after=None, rl_cap=0,
 ) -> SchurPlan:
     """Plan construction from HOST (numpy/list) index arrays.
 
@@ -426,10 +469,16 @@ def build_schur_plan_host(
     t = _HostTables()
     t.reproj = _HostTable(rp_pose_a, rp_point_a, rp_mask)
     t.bbox = _HostTable(bb_pose_a, bb_obj_a, bb_mask)
-    return build_schur_plan(t, caps, n_pose=n_pose)
+    return build_schur_plan(
+        t, caps, n_pose=n_pose, rl_before=rl_before, rl_after=rl_after,
+        rl_cap=rl_cap,
+    )
 
 
-def build_schur_plan(tables: FactorTables, caps=None, n_pose=None) -> SchurPlan:
+def build_schur_plan(
+    tables: FactorTables, caps=None, n_pose=None,
+    rl_before=None, rl_after=None, rl_cap=0,
+) -> SchurPlan:
     """Host-side plan construction from (numpy views of) the factor tables.
 
     NOTE: if the tables hold device arrays this reads the index columns back
@@ -506,8 +555,21 @@ def build_schur_plan(tables: FactorTables, caps=None, n_pose=None) -> SchurPlan:
             pt_band_local_pose,
         ) = band
         pt_band_local_pose = jnp.asarray(pt_band_local_pose)
+    rel_band_gather = rel_band_mask = rel_band_local_pose = None
+    if rl_before is not None and rl_cap:
+        rel_band = _rel_band_layout(
+            rl_before, rl_after, int(rl_cap), n_pose,
+            caps.get("rel_band_lg"),
+        )
+        if rel_band is not None:
+            rel_band_gather = jnp.asarray(rel_band[0])
+            rel_band_mask = jnp.asarray(rel_band[1])
+            rel_band_local_pose = jnp.asarray(rel_band[2])
     return SchurPlan(
         pt_band_local_pose=pt_band_local_pose,
+        rel_band_gather=rel_band_gather,
+        rel_band_mask=rel_band_mask,
+        rel_band_local_pose=rel_band_local_pose,
         rp_factor_pair=jnp.asarray(rp_factor_pair),
         pt_pair_pose=jnp.asarray(pt_pair_pose),
         pt_pair_point=jnp.asarray(pt_pair_point),
@@ -1296,31 +1358,56 @@ def compute_step(
         )
         l_diag = _cholesky_unrolled(diag_blocks, 6)  # L L^T = diag_blocks
         n_rel = j_rl_b.shape[0]
-        k_rng = jnp.arange(n_rel, dtype=jnp.int32)
-        live_rl = tables.relpose.mask
-        v_rel = _dense_from_pairs(
-            jnp.concatenate(
-                [tables.relpose.before_idx, tables.relpose.after_idx, diag_idx]
-            ),
-            jnp.concatenate(
-                [k_rng, k_rng, n_rel + jnp.arange(n_pose, dtype=jnp.int32)]
-            ),
-            jnp.concatenate(
-                [live_rl, live_rl, jnp.ones(n_pose, dtype=bool)]
-            ),
-            jnp.concatenate(
-                [jnp.swapaxes(j_rl_b, 1, 2), jnp.swapaxes(j_rl_a, 1, 2), l_diag],
-                axis=0,
-            ),
-            n_rel + n_pose,
-            6,
-            6,
+        rel_blocks = jnp.concatenate(
+            [jnp.swapaxes(j_rl_b, 1, 2), jnp.swapaxes(j_rl_a, 1, 2), l_diag],
+            axis=0,
+        )  # (2R + P, 6, 6) — the stack rel_band_gather indexes into
+        rel_band_ok = (
+            plan.rel_band_local_pose is not None
+            and n_pose
+            <= _BAND_TP * (plan.rel_band_local_pose.shape[0] + 1)
         )
+        if rel_band_ok:
+            # Relpose factors couple consecutive poses and the damped
+            # diagonal is block-diagonal, so this gram is block-tridiagonal
+            # — the banded group gram computes it at ~1% of the dense
+            # V_rel gram's MXU FLOPs (and skips the V_rel element scatter).
+            s_rel, _ = _slot_gram(
+                rel_blocks,
+                plan.rel_band_gather,
+                None,
+                plan.rel_band_mask,
+                6,
+                band_local=plan.rel_band_local_pose,
+            )
+            s4 = (s_rel - s_sub2 - s_sub_ob).reshape(n_pose, 6, n_pose, 6)
+        else:
+            k_rng = jnp.arange(n_rel, dtype=jnp.int32)
+            live_rl = tables.relpose.mask
+            v_rel = _dense_from_pairs(
+                jnp.concatenate(
+                    [
+                        tables.relpose.before_idx,
+                        tables.relpose.after_idx,
+                        diag_idx,
+                    ]
+                ),
+                jnp.concatenate(
+                    [k_rng, k_rng, n_rel + jnp.arange(n_pose, dtype=jnp.int32)]
+                ),
+                jnp.concatenate(
+                    [live_rl, live_rl, jnp.ones(n_pose, dtype=bool)]
+                ),
+                rel_blocks,
+                n_rel + n_pose,
+                6,
+                6,
+            )
 
-        # S = V_rel V_rel^T - (U G)(U G)^T - (W_ob G_oo)(W_ob G_oo)^T.
-        s4 = (_gram(v_rel) - s_sub2 - s_sub_ob).reshape(
-            n_pose, 6, n_pose, 6
-        )
+            # S = V_rel V_rel^T - (U G)(U G)^T - (W_ob G_oo)(W_ob G_oo)^T.
+            s4 = (_gram(v_rel) - s_sub2 - s_sub_ob).reshape(
+                n_pose, 6, n_pose, 6
+            )
     else:
         # Pair-enumeration path (problems too large for a dense U): combine
         # rows sharing a destination with a sorted segment_sum, scatter
@@ -1453,8 +1540,15 @@ def compute_step(
     # parity, PARITY.md known-gaps). Runs unconditionally — keeping it out of
     # the cond avoids a pipeline sync around the whole solve; the cond below
     # only selects the (rarely taken) LU fallback.
-    resid = rhs - jnp.einsum(
-        "ij,j->i", s_sym, delta_raw, precision=jax.lax.Precision.HIGHEST
+    # Contract over dim 0 (S is symmetric by construction): dim-0
+    # contraction is MXU-native for the row-major S layout, avoiding a
+    # hidden full-matrix transpose a dim-1 contraction can trigger.
+    resid = rhs - jax.lax.dot_general(
+        s_sym,
+        delta_raw,
+        (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=s_sym.dtype,
     )
     delta_ref = delta_raw + jax.scipy.linalg.cho_solve((chol, True), resid)
     # If the Cholesky failed (indefinite S before enough damping), zero the

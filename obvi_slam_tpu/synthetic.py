@@ -220,6 +220,9 @@ def synthetic_problem(
         flat_o_obj[keep_o],
         bbox.capacity,
         n_pose=n_poses,
+        rl_before=np.arange(n_poses - 1),
+        rl_after=np.arange(1, n_poses),
+        rl_cap=relpose.capacity,
     )
 
     state_gt = T.BAState(

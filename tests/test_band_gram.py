@@ -59,6 +59,54 @@ class TestBandLayout:
         assert plan.pt_band_local_pose is None
 
 
+class TestRelBandLayout:
+    def test_synthetic_engages_rel_band(self):
+        p = synthetic_problem(
+            n_poses=256, n_points=256, n_objects=4, obs_per_point=6,
+            obs_per_object=6, dtype=np.float64,
+        )
+        plan = p[4]
+        assert plan.rel_band_local_pose is not None
+        assert plan.rel_band_gather.shape[1] == 2
+
+    def test_wide_relpose_falls_back(self):
+        """PGO-style loop-closure relpose factors (pose 0 <-> 200) must
+        disable the relpose band, independently of the point band."""
+        plan = sm.build_schur_plan_host(
+            [0, 1], [0, 0], 4, [], [], 4, n_pose=256,
+            rl_before=[0, 10], rl_after=[200, 11], rl_cap=4,
+        )
+        assert plan.rel_band_local_pose is None
+        assert plan.pt_band_local_pose is not None
+
+    def test_rel_band_step_matches_dense(self):
+        state, _, cams, tables, plan, free, weights, huber = (
+            synthetic_problem(
+                n_poses=256, n_points=384, n_objects=4, obs_per_point=6,
+                obs_per_object=6, dtype=np.float64,
+            )
+        )
+        assert plan.rel_band_local_pose is not None
+        radius = jnp.asarray(1e4, np.float64)
+        d_band, mcc_band, _ = sm.compute_step(
+            state, cams, tables, plan, free, weights, radius, huber,
+            dense_schur=True,
+        )
+        plan_dense = plan._replace(
+            rel_band_gather=None, rel_band_mask=None,
+            rel_band_local_pose=None,
+        )
+        d_ref, mcc_ref, _ = sm.compute_step(
+            state, cams, tables, plan_dense, free, weights, radius, huber,
+            dense_schur=True,
+        )
+        rel = np.linalg.norm(
+            np.asarray(d_band.poses) - np.asarray(d_ref.poses)
+        ) / (np.linalg.norm(np.asarray(d_ref.poses)) + 1e-30)
+        assert rel < 1e-10, rel
+        assert np.isclose(float(mcc_band), float(mcc_ref), rtol=1e-10)
+
+
 class TestBandStepEquality:
     @pytest.mark.parametrize("dtype", [np.float64, np.float32])
     def test_band_matches_dense(self, dtype):

@@ -212,6 +212,16 @@ def chol_matvec(rhs):
     return rhs + 1e-30 * d[0]
 
 
+def chol_matvec0(rhs):
+    """Dim-0 contraction variant (valid because S is symmetric)."""
+    d = jax.lax.dot_general(
+        s_spd, rhs, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return rhs + 1e-30 * d[0]
+
+
 # --- phase: full step ------------------------------------------------------
 def step(carry):
     s, radius = carry
@@ -246,6 +256,7 @@ if "cholsub" in PHASES:
     t["chol_fact"] = chain(chol_fact, rhs0, "chol_fact")
     t["chol_solve"] = chain(chol_solve, rhs0, "chol_solve")
     t["chol_matvec"] = chain(chol_matvec, rhs0, "chol_matvec")
+    t["chol_matvec0"] = chain(chol_matvec0, rhs0, "chol_matvec0")
 if "step" in PHASES:
     t["step"] = chain(step, (state, jnp.asarray(1e4, jnp.float32)), "step")
 if len(t) == 5:
