@@ -1112,8 +1112,17 @@ def compute_step(
         (~9 ns/element of the full OUTPUT, i.e. 60x slower here, profiled).
         Dead rows are routed out of bounds and dropped so indices are
         genuinely unique."""
-        safe_row = jnp.where(live, row_blk, n_pose)
-        rows = safe_row[:, None] * bh + jnp.arange(bh)  # (K, bh)
+        if cp_order:
+            # c-major row order (component-major): row (p, c) -> c*P + p;
+            # dead rows routed past the end and dropped.
+            rows = jnp.where(
+                live[:, None],
+                jnp.arange(bh) * n_pose + row_blk[:, None],
+                n_pose * bh,
+            )  # (K, bh)
+        else:
+            safe_row = jnp.where(live, row_blk, n_pose)
+            rows = safe_row[:, None] * bh + jnp.arange(bh)  # (K, bh)
         cols = col_blk[:, None] * bw + jnp.arange(bw)  # (K, bw)
         out = jnp.zeros((n_pose * bh, n_land * bw), dtype=dtype)
         return out.at[rows[:, :, None], cols[:, None, :]].set(
@@ -1122,7 +1131,7 @@ def compute_step(
 
     def _slot_gram(
         w_scaled_blocks, slot_gather, slot_pose, slot_mask, bw,
-        band_local=None,
+        band_local=None, cp_order=False,
     ):
         """Schur subtraction Σ_l U_l U_l^T entirely on the MXU.
 
@@ -1195,24 +1204,55 @@ def compute_step(
                     precision=_GRAM_PRECISION,
                     preferred_element_type=dtype,
                 )  # (G, 768, 768) in (c, p) x (c, p) order
-            sg = (
-                sg.reshape(n_group, 6, width, 6, width)
-                .transpose(0, 2, 1, 4, 3)
-                .reshape(n_group, w_band, w_band)
-            )  # -> (p, c) x (p, c)
-            pad = 6 * _BAND_TP * (n_group + 1)
-            big = jnp.zeros((pad, pad), dtype)
+            # The group grams come out in (component, pose)-major order.
+            # KEEP that order: the whole reduced system runs c-major under
+            # banding (a symmetric permutation — Cholesky/solves are
+            # oblivious), because permuting each 9.4 MB gram output back to
+            # (p, c) costs 0.66 ms/iter on v5e (interleaved transposes are
+            # far below HBM speed) while transposing the (P, 6) rhs/delta
+            # vectors at the solve boundary is free.
+            pp = _BAND_TP * (n_group + 1)
+            big = jnp.zeros((6, pp, 6, pp), dtype)
+            sg4 = sg.reshape(n_group, 6, width, 6, width)
             for g in range(n_group):
-                off = 6 * _BAND_TP * g
-                cur = jax.lax.dynamic_slice(big, (off, off), (w_band, w_band))
-                big = jax.lax.dynamic_update_slice(
-                    big, cur + sg[g], (off, off)
+                off = _BAND_TP * g
+                cur = jax.lax.dynamic_slice(
+                    big, (0, off, 0, off), (6, width, 6, width)
                 )
-            return big[: n_pose * 6, : n_pose * 6], zg
+                big = jax.lax.dynamic_update_slice(
+                    big, cur + sg4[g], (0, off, 0, off)
+                )
+            s_cm = big[:, :n_pose, :, :n_pose].reshape(
+                n_pose * 6, n_pose * 6
+            )  # c-major (6P, 6P)
+            return s_cm, zg
         onehot = (
             (slot_pose[:, :, None] == jnp.arange(n_pose, dtype=slot_pose.dtype))
             & slot_mask[:, :, None]
         ).astype(dtype)
+        if cp_order:
+            # c-major variant (used for the small object gram when the
+            # point gram runs banded, so all S contributions share one
+            # layout): rows (l, b), columns (c, p); one 2-D gram.
+            w_bt = jnp.swapaxes(w_comp, 2, 3).reshape(L, C, bw * 6)
+            zf = jax.lax.dot_general(
+                w_bt,
+                onehot,
+                (((1,), (1,)), ((0,), (0,))),
+                precision=_P_HI,
+                preferred_element_type=dtype,
+            ).reshape(L * bw, 6 * n_pose)  # (l*b, (c, p))
+            if split_gram:
+                s = _sym_gram_split(zf, (0,))
+            else:
+                s = jax.lax.dot_general(
+                    zf,
+                    zf,
+                    (((0,), (0,)), ((), ())),
+                    precision=_GRAM_PRECISION,
+                    preferred_element_type=dtype,
+                )
+            return s, zf
         z_bs = tuple(
             jax.lax.dot_general(
                 onehot,
@@ -1276,6 +1316,11 @@ def compute_step(
         and n_pose
         <= _BAND_TP * (plan.pt_band_local_pose.shape[0] + 1)
     )
+    # Under banding the whole reduced camera system is assembled and solved
+    # in (component, pose)-major order — the band grams' native layout —
+    # and only the (P, 6) rhs/delta vectors are transposed at the solve
+    # boundary (see the band-branch comment in _slot_gram).
+    cp_order = pt_band and pt_slot_ok
 
     s_sub2 = None
     z_pt = z_ob = None
@@ -1324,6 +1369,7 @@ def compute_step(
                 plan.ob_slot_pose,
                 plan.ob_slot_mask,
                 7,
+                cp_order=cp_order,
             )
         else:
             v_ob = _dense_from_pairs(
@@ -1366,6 +1412,8 @@ def compute_step(
             plan.rel_band_local_pose is not None
             and n_pose
             <= _BAND_TP * (plan.rel_band_local_pose.shape[0] + 1)
+            # Band grams emit c-major blocks; only combine with a c-major S.
+            and cp_order
         )
         if rel_band_ok:
             # Relpose factors couple consecutive poses and the damped
@@ -1503,16 +1551,26 @@ def compute_step(
     if z_ob is not None:
         g_oo_slot = g_oo[plan.ob_slot_land]
         y_ob = (g_oo_slot * b_o[plan.ob_slot_land][:, :, None]).sum(1)
-        b_s = b_s - sum(
-            jax.lax.dot_general(
-                z_b,
-                y_ob[:, b],
+        if cp_order:
+            contrib_ob = jax.lax.dot_general(
+                z_ob,
+                y_ob.reshape(-1),
                 (((0,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=dtype,
+            )  # (6P,) c-major
+            b_s = b_s - contrib_ob.reshape(6, n_pose).T
+        else:
+            b_s = b_s - sum(
+                jax.lax.dot_general(
+                    z_b,
+                    y_ob[:, b],
+                    (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=dtype,
+                )
+                for b, z_b in enumerate(z_ob)
             )
-            for b, z_b in enumerate(z_ob)
-        )
     else:
         wb_ob = geo.bmv(w_ob, geo.bmv(h_oo_inv[plan.ob_pair_obj], b_o[plan.ob_pair_obj]))
         b_s = b_s.at[plan.ob_pair_pose].add(-wb_ob)
@@ -1532,7 +1590,9 @@ def compute_step(
     else:
         s_sym = 0.5 * (s_dense + s_dense.T)
     chol = jnp.linalg.cholesky(s_sym)
-    rhs = b_s.reshape(-1)
+    # c-major S (banding): permute the rhs to match — a symmetric
+    # permutation of the system, so the factorization/solve are unchanged.
+    rhs = b_s.T.reshape(-1) if cp_order else b_s.reshape(-1)
     delta_raw = jax.scipy.linalg.cho_solve((chol, True), rhs)
     # One step of iterative refinement: reuses the factorization and costs a
     # single matvec + triangular solves, but recovers most of the accuracy an
@@ -1557,7 +1617,10 @@ def compute_step(
     # (and cheaper than an LU-fallback branch, which costs a ~2 ms pipeline
     # sync as a lax.cond even when never taken).
     delta_flat = jnp.where(jnp.all(jnp.isfinite(delta_ref)), delta_ref, 0.0)
-    delta_p = delta_flat.reshape(n_pose, 6)
+    if cp_order:
+        delta_p = delta_flat.reshape(6, n_pose).T
+    else:
+        delta_p = delta_flat.reshape(n_pose, 6)
 
     # ---- back-substitution ----------------------------------------------
     # delta_x = Hxx^-1 (b_x - W^T delta_p). With z live the coupling term is
@@ -1624,19 +1687,28 @@ def compute_step(
     delta_l = delta_l * (~ll_singular[:, None]) * point_free[:, None]
     if z_ob is not None:
         delta_o = geo.bmv(h_oo_inv, b_o)
-        q_ob = jnp.stack(
-            [
-                jax.lax.dot_general(
-                    z_b,
-                    delta_p,
-                    (((1, 2), (0, 1)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=dtype,
-                )
-                for z_b in z_ob
-            ],
-            axis=1,
-        )  # (Lo, 7)
+        if cp_order:
+            q_ob = jax.lax.dot_general(
+                z_ob,
+                delta_p.T.reshape(-1),
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=dtype,
+            ).reshape(-1, 7)  # rows (l, b) -> (Lo, 7)
+        else:
+            q_ob = jnp.stack(
+                [
+                    jax.lax.dot_general(
+                        z_b,
+                        delta_p,
+                        (((1, 2), (0, 1)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=dtype,
+                    )
+                    for z_b in z_ob
+                ],
+                axis=1,
+            )  # (Lo, 7)
         corr_o = geo.bmv(g_oo_slot, q_ob)
         live_row_o = jnp.any(plan.ob_slot_mask, axis=1)
         safe_obj = jnp.where(live_row_o, plan.ob_slot_land, n_obj)
