@@ -98,10 +98,12 @@ def lm_iteration_flops(
     # of one (6P, 3Lp, 6P).
     g_passes = _gram_passes(gram_precision, split_gram)
     pt_gram_width = 6 * pt_width
+    rel_banded = getattr(plan, "rel_band_local_pose", None) is not None
+    rel_gram_width = 6 * (2 * 64) if (banded and rel_banded) else d6
     gram = (
         2.0 * pt_gram_width * pt_gram_width * (Lp * 3)  # point gram
         + 2.0 * d6 * d6 * (Lo * 7)      # object gram
-        + 2.0 * d6 * d6 * (6 * (F_rl + n_pose))  # relpose+diag gram
+        + 2.0 * rel_gram_width * rel_gram_width * (6 * (F_rl + n_pose))
     )
     phase("schur_gram", gram, gram * g_passes)
 

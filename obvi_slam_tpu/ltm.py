@@ -187,6 +187,51 @@ def extract_long_term_object_map(
     return ltm
 
 
+def _ensure_psd_covs(covs, red_h, n_pose, min_col_norm):
+    """Guarantee PSD object covariance blocks before they are serialized.
+
+    The device path inverts the reduced system densely; when the system is
+    rank-deficient past what the repair loop identified, that inverse is
+    garbage with large mixed-sign eigenvalues (observed: -2e11 vs +6e14 on
+    a rank-3-deficient 8-frame session) — downstream whitening
+    (pose_graph.batched_sqrt_inf) would raise when the next session seeds
+    from the map. If any block is non-PSD beyond f64 roundoff, recompute
+    ALL object blocks from the reduced Hessian's eigendecomposition with
+    near-null eigenvalues clamped to min_col_norm**2 — numerically
+    identical to priors of strength min_col_norm on exactly the null
+    directions (the reference's repair semantics,
+    extraction.cpp:816-922), and PSD by construction."""
+    if covs.size == 0:
+        return covs
+    finite = np.all(np.isfinite(covs))
+    if finite:
+        sym = 0.5 * (covs + np.transpose(covs, (0, 2, 1)))
+        w = np.linalg.eigvalsh(sym)
+        # Healthy PSD inverses carry only O(eps)-relative negative
+        # eigenvalues from roundoff.
+        tol = -1e-12 * np.abs(w).max(axis=-1, keepdims=True)
+        if not np.any(w <= tol):
+            return covs
+    logger.warning(
+        "LTM covariances non-PSD from dense inverse; recomputing via "
+        "clamped eigen pseudo-inverse of the reduced Hessian"
+    )
+    if not np.all(np.isfinite(red_h)):
+        return None
+    lam, vec = np.linalg.eigh(0.5 * (red_h + red_h.T))
+    thr = float(min_col_norm) ** 2
+    lam_inv = 1.0 / np.maximum(lam, thr)
+    cov_full = (vec * lam_inv) @ vec.T
+    n_obj = covs.shape[0]
+    out = np.empty_like(covs)
+    base = n_pose * 6
+    for i in range(n_obj):
+        blk = cov_full[base + 7 * i : base + 7 * (i + 1),
+                       base + 7 * i : base + 7 * (i + 1)]
+        out[i] = 0.5 * (blk + blk.T)
+    return out
+
+
 def _extract(pg, config, front_end_data, dtype):
     max_frame = pg.max_frame_id()
     if max_frame < 0 or not pg.objects:
@@ -281,6 +326,12 @@ def _extract(pg, config, front_end_data, dtype):
             return None
 
     covs = np.asarray(covs)
+    covs = _ensure_psd_covs(
+        covs, np.asarray(red_h, np.float64), state_np["pose"].shape[0],
+        min_col_norm,
+    )
+    if covs is None:
+        return None
     ellipsoids = {}
     covariances = {}
     obj_row_of = {int(o): i for i, o in enumerate(problem.obj_rows)}

@@ -79,9 +79,12 @@ def _split_parts(x, parts):
 
 
 def _dotT(a, b):
-    """aᵀ b with contraction over the leading (sublane) dim — MXU-native."""
+    """aᵀ b with contraction over the leading (sublane) dim — MXU-native.
+    precision pinned to DEFAULT: bf16 operands under an ambient HIGHEST
+    context make Mosaic reject the matmul ("Bad lhs type")."""
     return jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
 

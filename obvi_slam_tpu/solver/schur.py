@@ -633,6 +633,26 @@ def _use_split_gram(dtype) -> bool:
     return dtype == jnp.float32 and jax.default_backend() == "tpu"
 
 
+_BAND_KERNEL = os.environ.get("OBVI_BAND_GRAM", "xla")
+
+
+def _use_band_kernel(dtype) -> bool:
+    """Gate for the fused banded z-build+gram Pallas kernel
+    (ops/band_gram_pallas.py).
+
+    OPT-IN ONLY (``OBVI_BAND_GRAM=pallas``): in isolation the kernel beats
+    the XLA band pipeline (1.26 vs 1.6 ms for zbuild+gram on the bench
+    shapes, v5e r2), but the full compute_step REGRESSES with it (4.84 vs
+    4.26 ms/iter) — the monolithic kernel blocks the cross-op overlap XLA
+    schedules between the gram and the rest of the step. Revisit if the
+    kernel grows to cover more of the step."""
+    if _BAND_KERNEL != "pallas":
+        return False
+    from obvi_slam_tpu import ops as ops_mod
+
+    return dtype == jnp.float32 and ops_mod.pallas_supported()
+
+
 def _use_syrk(dtype) -> bool:
     """Gate for the fused triangular syrk Pallas kernel (ops/syrk_pallas):
     computes only the lower-triangle tiles with the bf16 split done in VMEM.
@@ -865,6 +885,7 @@ def compute_step(
     # XLA analytic path elsewhere.
     from obvi_slam_tpu import ops as ops_mod
     from obvi_slam_tpu.factors.reproj_fast import reproj_residuals_and_jac_fast
+    from obvi_slam_tpu.ops import band_gram_pallas as ops_band
     from obvi_slam_tpu.ops import syrk_pallas as ops_syrk
 
     if ops_mod.pallas_supported():
@@ -1176,34 +1197,55 @@ def compute_step(
             n_group, lg, _ = band_local.shape
             width = 2 * _BAND_TP  # 128 local poses
             w_band = 6 * width  # 768
-            onehot = (
-                (
-                    band_local.reshape(L, C)[:, :, None]
-                    == jnp.arange(width, dtype=band_local.dtype)
+            if _use_band_kernel(dtype) and (lg * bw) % 512 == 0:
+                # Fused Pallas producer: VPU z build + in-VMEM bf16 split +
+                # MXU group gram, one HBM pass (ops/band_gram_pallas.py).
+                w_rows = (
+                    w_comp.transpose(0, 3, 1, 2)  # (L, bw, C, 6)
+                    .reshape(n_group, lg * bw, C * 6)
                 )
-                & slot_mask[:, :, None]
-            ).astype(dtype)
-            w_bt = jnp.swapaxes(w_comp, 2, 3).reshape(L, C, bw * 6)
-            z4 = jax.lax.dot_general(
-                w_bt,
-                onehot,
-                (((1,), (1,)), ((0,), (0,))),
-                precision=_P_HI,
-                preferred_element_type=dtype,
-            )  # (L, bw*6, 128): dims (l, (b, c), p)
-            zg = z4.reshape(n_group, lg, bw, 6 * width).reshape(
-                n_group, lg * bw, 6 * width
-            )  # contraction rows (l, b); columns (c, p)
-            if split_gram:
-                sg = _sym_gram_split_batched(zg)
+                lp_rows = jnp.where(
+                    slot_mask, band_local.reshape(L, C), width
+                ).astype(jnp.int32)
+                lp_rows = jnp.broadcast_to(
+                    lp_rows[:, None, :], (L, bw, C)
+                ).reshape(n_group, lg * bw, C)
+                parts = {
+                    jax.lax.Precision.HIGHEST: 3,
+                    jax.lax.Precision.HIGH: 2,
+                }.get(_GRAM_PRECISION, 1)
+                zg, sg = ops_band.band_zbuild_gram(
+                    w_rows, lp_rows, parts=parts
+                )
             else:
-                sg = jax.lax.dot_general(
-                    zg,
-                    zg,
+                onehot = (
+                    (
+                        band_local.reshape(L, C)[:, :, None]
+                        == jnp.arange(width, dtype=band_local.dtype)
+                    )
+                    & slot_mask[:, :, None]
+                ).astype(dtype)
+                w_bt = jnp.swapaxes(w_comp, 2, 3).reshape(L, C, bw * 6)
+                z4 = jax.lax.dot_general(
+                    w_bt,
+                    onehot,
                     (((1,), (1,)), ((0,), (0,))),
-                    precision=_GRAM_PRECISION,
+                    precision=_P_HI,
                     preferred_element_type=dtype,
-                )  # (G, 768, 768) in (c, p) x (c, p) order
+                )  # (L, bw*6, 128): dims (l, (b, c), p)
+                zg = z4.reshape(n_group, lg, bw, 6 * width).reshape(
+                    n_group, lg * bw, 6 * width
+                )  # contraction rows (l, b); columns (c, p)
+                if split_gram:
+                    sg = _sym_gram_split_batched(zg)
+                else:
+                    sg = jax.lax.dot_general(
+                        zg,
+                        zg,
+                        (((1,), (1,)), ((0,), (0,))),
+                        precision=_GRAM_PRECISION,
+                        preferred_element_type=dtype,
+                    )  # (G, 768, 768) in (c, p) x (c, p) order
             # The group grams come out in (component, pose)-major order.
             # KEEP that order: the whole reduced system runs c-major under
             # banding (a symmetric permutation — Cholesky/solves are
