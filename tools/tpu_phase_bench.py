@@ -145,13 +145,10 @@ if _BAND:
     )
 
     def gram(zs):
+        # c-major group gram, as production runs it (no output permute —
+        # the reduced system stays c-major under banding).
         zg = zs[0]
         s = sm._sym_gram_split_batched(zg)
-        s = (
-            s.reshape(_G, 6, 128, 6, 128)
-            .transpose(0, 2, 1, 4, 3)
-            .reshape(_G, 768, 768)
-        )
         return (zg + 1e-30 * s[0, 0, 0],)
 
 else:
