@@ -13,7 +13,17 @@ trust-region loop (one dispatch per solve).
 self-baseline, NOT the reference's 20-thread Ceres (which publishes no
 numbers, BASELINE.md); the field ``baseline_kind`` says so explicitly.
 
-Extra tiers in the JSON line:
+Artifact robustness (VERDICT r2 #1): the primary JSON line is printed and
+FLUSHED immediately after the LM micro-bench, BEFORE any optional tier, so a
+driver timeout mid-tier can never yield an empty artifact. Each tier runs
+under its own try/except and a global wall-clock deadline
+(OBVI_BENCH_BUDGET_S, default 2700 s); tiers that don't fit are recorded as
+{"skipped": "deadline"}. The final ENRICHED line (same schema + tier fields)
+is re-printed at the end; drivers parsing either the first or the last JSON
+line of stdout get a valid record. Tier results are also mirrored to the
+sidecar file ``bench_sidecar.json`` next to this script.
+
+Extra tiers in the enriched line:
   sol            — per-phase FLOPs + speed-of-light times at v5e peak and the
                    measured iteration's speed-of-light fraction (MFU-style).
   pallas_check   — on-device reproj Pallas kernel vs the XLA analytic path
@@ -23,7 +33,7 @@ Extra tiers in the JSON line:
                    keyed by the reference's cumulative-timer names (run in a
                    subprocess with a timeout; null if it can't finish).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints JSON lines: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -35,6 +45,15 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
+
+_REPO = Path(__file__).parent
+_SIDECAR = _REPO / "bench_sidecar.json"
+_T_START = time.monotonic()
+_BUDGET_S = float(os.environ.get("OBVI_BENCH_BUDGET_S", "2700"))
+
+
+def _remaining():
+    return _BUDGET_S - (time.monotonic() - _T_START)
 
 
 def _probe_accelerator_backend(timeout_s=120):
@@ -62,6 +81,13 @@ def _probe_accelerator_backend(timeout_s=120):
 _probe_accelerator_backend()
 
 import jax
+
+# Persistent compile cache: re-runs of the same programs (driver rerun after a
+# pre-warm run) skip XLA compilation entirely. The axon service additionally
+# keeps its own remote compile cache keyed by program.
+jax.config.update("jax_compilation_cache_dir", str(_REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -122,6 +148,34 @@ def time_iters(device, problem, n_iters, warmup=2):
         dt = time.perf_counter() - t0
     total_iters = reps * int(final.it)
     return total_iters / dt, cost
+
+
+def cpu_baseline_subprocess(timeout_s):
+    """Same micro-bench, CPU backend, in a budgeted subprocess (a cold CPU
+    compile of the fused solver can take minutes on this 2-vCPU host and must
+    not block the enriched line)."""
+    code = (
+        "import os,sys,json;"
+        "os.environ['OBVI_BENCH_NO_PROBE']='1';"
+        "os.environ.pop('PALLAS_AXON_POOL_IPS',None);"
+        "os.environ['JAX_PLATFORMS']='cpu';"
+        f"sys.path.insert(0,{str(_REPO)!r});"
+        "import jax,bench;"
+        "p=bench.build();"
+        "ips,_=bench.time_iters(jax.devices('cpu')[0],p,n_iters=5);"
+        "print(json.dumps({'cpu_ips':ips}))"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+        return float(json.loads(out.stdout.strip().splitlines()[-1])["cpu_ips"])
+    except Exception:
+        return float("nan")
 
 
 def pallas_hardware_check(device, problem):
@@ -220,7 +274,7 @@ def speed_of_light(problem, measured_iter_s):
     return table
 
 
-def e2e_bench(timeout_s=2400):
+def e2e_bench(timeout_s):
     """TUM e2e tier in a subprocess (frames/s + reference-named phase table)."""
     out = Path(tempfile.mkdtemp()) / "e2e.json"
     try:
@@ -241,6 +295,17 @@ def e2e_bench(timeout_s=2400):
         return {"error": type(e).__name__}
 
 
+def _tier(record, key, min_budget_s, fn, *args):
+    """Run one optional tier under the global deadline with error capture."""
+    if _remaining() < min_budget_s:
+        record[key] = {"skipped": "deadline"}
+        return
+    try:
+        record[key] = fn(*args)
+    except Exception as e:
+        record[key] = {"error": type(e).__name__}
+
+
 def main():
     problem = build()
 
@@ -251,50 +316,66 @@ def main():
 
     tpu_ips, tpu_cost = time_iters(target, problem, n_iters=20)
 
+    # Prior sidecar (if any) seeds vs_baseline for the primary line so the
+    # first printed record is complete even if the CPU tier never runs.
+    prior_cpu_ips = float("nan")
     try:
-        cpu_ips, _ = time_iters(cpu, problem, n_iters=5)
+        prior = json.loads(_SIDECAR.read_text())
+        prior_cpu_ips = float(prior.get("cpu_ips", "nan"))
     except Exception:
-        cpu_ips = float("nan")
+        pass
 
-    pallas_check = step_check = None
+    def vs(cpu_ips):
+        return tpu_ips / cpu_ips if cpu_ips == cpu_ips and cpu_ips > 0 else 1.0
+
+    record = {
+        "metric": "global_ba_lm_iters_per_s",
+        "value": round(tpu_ips, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(vs(prior_cpu_ips), 3),
+        # vs_baseline is the SAME JAX code on this 2-vCPU host, not
+        # the reference's 20-thread Ceres (no published numbers).
+        "baseline_kind": "same_code_host_cpu_2vcpu",
+        # Which backend actually ran: "tpu"/"axon" normally; "cpu"
+        # means the tunnel was down and this is the fallback number.
+        "platform": target.platform,
+        "per_iter_ms": round(1e3 / tpu_ips, 3) if tpu_ips > 0 else None,
+    }
+    # PRIMARY line: out the door before any optional tier (VERDICT r2 #1).
+    print(json.dumps(record), flush=True)
+
+    _tier(record, "sol", 5, speed_of_light, problem,
+          1.0 / tpu_ips if tpu_ips > 0 else None)
+
     if accel:
-        try:
-            pallas_check = pallas_hardware_check(target, problem)
-        except Exception as e:
-            pallas_check = {"error": type(e).__name__}
-        try:
-            step_check = step_vs_cpu_check(target, cpu, problem)
-        except Exception as e:
-            step_check = {"error": type(e).__name__}
+        _tier(record, "pallas_check", 120, pallas_hardware_check, target, problem)
+        _tier(record, "step_check", 120, step_vs_cpu_check, target, cpu, problem)
+    else:
+        record["pallas_check"] = record["step_check"] = None
 
-    sol = speed_of_light(problem, 1.0 / tpu_ips if tpu_ips > 0 else None)
+    cpu_budget = min(900.0, _remaining() - 60)
+    if cpu_budget > 60:
+        cpu_ips = cpu_baseline_subprocess(cpu_budget)
+        if cpu_ips == cpu_ips:
+            record["vs_baseline"] = round(vs(cpu_ips), 3)
+            record["cpu_ips"] = round(cpu_ips, 3)
+    elif prior_cpu_ips == prior_cpu_ips:
+        record["cpu_ips"] = round(prior_cpu_ips, 3)
 
-    e2e = None
-    if not os.environ.get("OBVI_BENCH_NO_E2E"):
-        e2e = e2e_bench()
+    if os.environ.get("OBVI_BENCH_NO_E2E"):
+        record["e2e"] = None
+    else:
+        _tier(record, "e2e", 240, e2e_bench, min(1200.0, _remaining() - 30))
 
-    vs = tpu_ips / cpu_ips if cpu_ips == cpu_ips and cpu_ips > 0 else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": "global_ba_lm_iters_per_s",
-                "value": round(tpu_ips, 3),
-                "unit": "iter/s",
-                "vs_baseline": round(vs, 3),
-                # vs_baseline is the SAME JAX code on this 2-vCPU host, not
-                # the reference's 20-thread Ceres (no published numbers).
-                "baseline_kind": "same_code_host_cpu_2vcpu",
-                # Which backend actually ran: "tpu"/"axon" normally; "cpu"
-                # means the tunnel was down and this is the fallback number.
-                "platform": target.platform,
-                "per_iter_ms": round(1e3 / tpu_ips, 3) if tpu_ips > 0 else None,
-                "sol": sol,
-                "pallas_check": pallas_check,
-                "step_check": step_check,
-                "e2e": e2e,
-            }
-        )
-    )
+    # Sidecar mirror (tier details + cpu baseline seed for the next run).
+    try:
+        _SIDECAR.write_text(json.dumps(
+            {"cpu_ips": record.get("cpu_ips"), **record}, indent=1))
+    except Exception:
+        pass
+
+    # ENRICHED line (same schema + tiers) — last JSON line of stdout.
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":
