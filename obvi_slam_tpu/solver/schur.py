@@ -143,6 +143,14 @@ class SchurPlan(NamedTuple):
     rel_band_gather: jnp.ndarray = None  # (L2, 2) -> stacked block row
     rel_band_mask: jnp.ndarray = None  # (L2, 2)
     rel_band_local_pose: jnp.ndarray = None  # (G, Lg2, 2)
+    # Inverse of factor->pair when it is injective (the common case: each
+    # (pose, landmark) is observed by exactly one factor). The W pair
+    # blocks then assemble as a GATHER of the per-factor outer products
+    # instead of a segment_sum — a TPU scatter-add over 24k 18-wide rows
+    # cost ~0.2 ms/iter on the 256-pose bench (stepsub profile). None when
+    # some pair has 2+ contributing factors (duplicate observations).
+    pt_pair_factor: jnp.ndarray = None  # (Np,) factor row per pair, or None
+    ob_pair_factor: jnp.ndarray = None  # (No,) or None
 
 
 def _round_up(n, bucket=64):
@@ -475,6 +483,19 @@ def build_schur_plan_host(
     )
 
 
+def _pair_factor_gather(factor_pair, factor_mask, pair_cap):
+    """Inverse of the factor->pair map when injective: (pair_cap,) int32
+    factor row per pair row (0 for padding, masked downstream), or None when
+    any pair has 2+ contributing factors (then the segment_sum path runs)."""
+    live = np.nonzero(np.asarray(factor_mask))[0]
+    fp = np.asarray(factor_pair)[live]
+    if len(fp) and len(np.unique(fp)) != len(fp):
+        return None
+    out = np.zeros(pair_cap, dtype=np.int32)
+    out[fp] = live.astype(np.int32)
+    return out
+
+
 def build_schur_plan(
     tables: FactorTables, caps=None, n_pose=None,
     rl_before=None, rl_after=None, rl_cap=0,
@@ -565,11 +586,23 @@ def build_schur_plan(
             rel_band_gather = jnp.asarray(rel_band[0])
             rel_band_mask = jnp.asarray(rel_band[1])
             rel_band_local_pose = jnp.asarray(rel_band[2])
+    pt_pair_factor = _pair_factor_gather(
+        rp_factor_pair, rp.mask, len(pt_pair_pose)
+    )
+    ob_pair_factor = _pair_factor_gather(
+        bb_factor_pair, bb.mask, len(ob_pair_pose)
+    )
     return SchurPlan(
         pt_band_local_pose=pt_band_local_pose,
         rel_band_gather=rel_band_gather,
         rel_band_mask=rel_band_mask,
         rel_band_local_pose=rel_band_local_pose,
+        pt_pair_factor=(
+            None if pt_pair_factor is None else jnp.asarray(pt_pair_factor)
+        ),
+        ob_pair_factor=(
+            None if ob_pair_factor is None else jnp.asarray(ob_pair_factor)
+        ),
         rp_factor_pair=jnp.asarray(rp_factor_pair),
         pt_pair_pose=jnp.asarray(pt_pair_pose),
         pt_pair_point=jnp.asarray(pt_pair_point),
@@ -858,6 +891,7 @@ def compute_step(
     radius,
     huber: HuberParams = HuberParams(),
     dense_schur: bool = None,
+    _profile_stop: str = None,
 ):
     """One damped Gauss-Newton (LM) step.
 
@@ -869,7 +903,18 @@ def compute_step(
     densely and compute the Schur subtraction as ONE MXU matmul
     (U Hll^-1) U^T instead of enumerating per-landmark pose pairs. Wins
     whenever U fits comfortably in HBM; auto-enabled below ~256M elements.
+
+    ``_profile_stop``: profiling hook (tools/tpu_phase_bench.py stepsub
+    mode). When set to one of "resjac"/"hb"/"w"/"sassembly"/"rhs"/"chol",
+    returns early with a scalar that sums every intermediate live at that
+    point (so XLA cannot dead-code-eliminate the work). Production callers
+    leave it None; jit specializes on the static string, so the hook costs
+    nothing when unset.
     """
+
+    def _profile_exit(*xs):
+        return sum(jnp.sum(x) for x in xs)
+
     dtype = state.poses.dtype
     n_pose = state.poses.shape[0]
     n_point = state.points.shape[0]
@@ -941,6 +986,12 @@ def compute_step(
     # Scalar param priors (no Huber in reference).
     pp = tables.param_prior
     r_pp = fac.param_prior_residuals(state, pp)
+
+    if _profile_stop == "resjac":
+        return _profile_exit(
+            r_rp, j_rp_pose, j_rp_point, r_bb, j_bb_obj, j_bb_pose,
+            r_sh, j_sh, r_rl, j_rl_b, j_rl_a, r_lt, j_lt, r_pp,
+        )
 
     # ---- landmark blocks -------------------------------------------------
     # H_ll (M,3,3) and b_l (M,3) packed into ONE segment_sum (12 components)
@@ -1079,21 +1130,40 @@ def compute_step(
     h_ll_inv, g_ll = _spd_inverse_and_factor(h_ll_d, 3)
     h_oo_inv, g_oo = _spd_inverse_and_factor(h_oo_d, 7)
 
-    # ---- W pair blocks (2-D packed segment sums, see _hb_pack note) ------
+    if _profile_stop == "hb":
+        return _profile_exit(
+            h_pp_d, h_ll_inv, g_ll, h_oo_inv, g_oo, b_p, b_l, b_o, grad_max,
+        )
+
+    # ---- W pair blocks ---------------------------------------------------
+    # Gather path when factor->pair is injective (pt_pair_factor docstring);
+    # 2-D packed segment sums otherwise (_hb_pack note).
     n_pt_pair = plan.pt_pair_pose.shape[0]
-    w_pt = jax.ops.segment_sum(
-        _outer_rr(j_rp_pose, j_rp_point).reshape(-1, 18),
-        plan.rp_factor_pair,
-        num_segments=n_pt_pair,
-    ).reshape(n_pt_pair, 6, 3)
+    if plan.pt_pair_factor is not None:
+        w_pt = _outer_rr(j_rp_pose, j_rp_point)[plan.pt_pair_factor]
+    else:
+        w_pt = jax.ops.segment_sum(
+            _outer_rr(j_rp_pose, j_rp_point).reshape(-1, 18),
+            plan.rp_factor_pair,
+            num_segments=n_pt_pair,
+        ).reshape(n_pt_pair, 6, 3)
     w_pt = w_pt * plan.pt_pair_mask[:, None, None].astype(dtype)
     n_ob_pair = plan.ob_pair_pose.shape[0]
-    w_ob = jax.ops.segment_sum(
-        _outer_rr(j_bb_pose, j_bb_obj).reshape(-1, 42),
-        plan.bb_factor_pair,
-        num_segments=n_ob_pair,
-    ).reshape(n_ob_pair, 6, 7)
+    if plan.ob_pair_factor is not None:
+        w_ob = _outer_rr(j_bb_pose, j_bb_obj)[plan.ob_pair_factor]
+    else:
+        w_ob = jax.ops.segment_sum(
+            _outer_rr(j_bb_pose, j_bb_obj).reshape(-1, 42),
+            plan.bb_factor_pair,
+            num_segments=n_ob_pair,
+        ).reshape(n_ob_pair, 6, 7)
     w_ob = w_ob * plan.ob_pair_mask[:, None, None].astype(dtype)
+
+    if _profile_stop == "w":
+        return _profile_exit(
+            w_pt, w_ob, h_pp_d, h_ll_inv, g_ll, h_oo_inv, g_oo, b_p, b_l, b_o,
+            grad_max,
+        )
 
     # ---- dense reduced camera system S -----------------------------------
     # Assembled directly in (P, 6, P, 6) so the flattening to (6P, 6P) is a
@@ -1236,6 +1306,8 @@ def compute_step(
                 zg = z4.reshape(n_group, lg, bw, 6 * width).reshape(
                     n_group, lg * bw, 6 * width
                 )  # contraction rows (l, b); columns (c, p)
+                if _profile_stop == "ptz":
+                    return zg
                 if split_gram:
                     sg = _sym_gram_split_batched(zg)
                 else:
@@ -1246,6 +1318,8 @@ def compute_step(
                         precision=_GRAM_PRECISION,
                         preferred_element_type=dtype,
                     )  # (G, 768, 768) in (c, p) x (c, p) order
+            if _profile_stop == "ptgram":
+                return sg
             # The group grams come out in (component, pose)-major order.
             # KEEP that order: the whole reduced system runs c-major under
             # banding (a symmetric permutation — Cholesky/solves are
@@ -1253,20 +1327,45 @@ def compute_step(
             # (p, c) costs 0.66 ms/iter on v5e (interleaved transposes are
             # far below HBM speed) while transposing the (P, 6) rhs/delta
             # vectors at the solve boundary is free.
-            pp = _BAND_TP * (n_group + 1)
-            big = jnp.zeros((6, pp, 6, pp), dtype)
-            sg4 = sg.reshape(n_group, 6, width, 6, width)
-            for g in range(n_group):
-                off = _BAND_TP * g
-                cur = jax.lax.dynamic_slice(
-                    big, (0, off, 0, off), (6, width, 6, width)
-                )
-                big = jax.lax.dynamic_update_slice(
-                    big, cur + sg4[g], (0, off, 0, off)
-                )
-            s_cm = big[:, :n_pose, :, :n_pose].reshape(
-                n_pose * 6, n_pose * 6
-            )  # c-major (6P, 6P)
+            # Staggered fold of the overlapping group grams (stride 64,
+            # width 128) onto the c-major S. The r2 dynamic-slice/update
+            # loop copied the padded 14.7 MB buffer per group (~0.34 ms of
+            # the step, stepsub profile); instead decompose each group gram
+            # into its four 64-pose quadrants — the only overlap between
+            # consecutive windows is Q11[g] + Q00[g+1] on the shared tile —
+            # and assemble S column-of-tiles by column with static concats:
+            # one bandwidth-speed pass, no dynamic updates. Group g homes
+            # tiles {g, g+1}; quadrant tiles past n_pose (the pad tile of
+            # the last group) are simply never concatenated.
+            tp = _BAND_TP
+            nb = n_group  # 64-pose tiles covering n_pose (== ceil(P/64))
+            sg6 = sg.reshape(n_group, 6, 2, tp, 6, 2, tp)
+            q00 = sg6[:, :, 0, :, :, 0, :]  # (G, 6, 64, 6, 64) tile (g, g)
+            q01 = sg6[:, :, 0, :, :, 1, :]  # tile (g, g+1)
+            q10 = sg6[:, :, 1, :, :, 0, :]  # tile (g+1, g)
+            q11 = sg6[:, :, 1, :, :, 1, :]  # tile (g+1, g+1)
+            zeros_col = jnp.zeros((6, tp, 6, tp), dtype)
+            cols = []
+            for b in range(nb):
+                pieces = []
+                for a in range(nb):
+                    if a == b:
+                        tile = q00[b]
+                        if b > 0:
+                            tile = tile + q11[b - 1]
+                    elif a == b - 1:
+                        tile = q01[b - 1]
+                    elif a == b + 1:
+                        tile = q10[b]
+                    else:
+                        tile = zeros_col
+                    pieces.append(tile)
+                cols.append(jnp.concatenate(pieces, axis=1))
+            s_cm = jnp.concatenate(cols, axis=3)[
+                :, :n_pose, :, :n_pose
+            ].reshape(n_pose * 6, n_pose * 6)  # c-major (6P, 6P)
+            if _profile_stop == "ptfold":
+                return s_cm
             return s_cm, zg
         onehot = (
             (slot_pose[:, :, None] == jnp.arange(n_pose, dtype=slot_pose.dtype))
@@ -1379,8 +1478,10 @@ def compute_step(
         #     blocks with a one-hot matmul (column order under a gram is
         #     free, so the landmark axis is compacted to observed landmarks).
         w_scaled = geo.bmm(w_pt, g_ll[plan.pt_pair_point])  # (Np, 6, 3)
+        if _profile_stop == "ptw":
+            return _profile_exit(w_scaled, w_ob, b_p, b_l, b_o, grad_max)
         if pt_slot_ok:
-            s_sub2, z_pt = _slot_gram(
+            out = _slot_gram(
                 w_scaled,
                 plan.pt_slot_gather,
                 plan.pt_slot_pose,
@@ -1388,6 +1489,10 @@ def compute_step(
                 3,
                 band_local=plan.pt_band_local_pose if pt_band else None,
             )
+            if _profile_stop in ("ptz", "ptgram", "ptfold"):
+                # _slot_gram returned the raw intermediate for this stop.
+                return _profile_exit(out, w_ob, b_p, b_l, b_o, grad_max)
+            s_sub2, z_pt = out
         else:
             u2 = _dense_from_pairs(
                 plan.pt_pair_pose,
@@ -1413,6 +1518,10 @@ def compute_step(
                 7,
                 cp_order=cp_order,
             )
+            if _profile_stop == "obgram":
+                return _profile_exit(
+                    s_sub2, s_sub_ob, z_pt, z_ob, b_p, b_l, b_o, grad_max
+                )
         else:
             v_ob = _dense_from_pairs(
                 plan.ob_pair_pose,
@@ -1440,38 +1549,54 @@ def compute_step(
         # then three gram matmuls with fused epilogue subtracts — zero
         # full-S elementwise passes (a where()-broadcast diagonal add costs
         # ~0.8 ms/iter in select + layout-copy traffic, profiled).
-        diag_blocks = (
-            act[:, None, None] * (h_pp_d - h_pp_rel)
-            + (1.0 - act)[:, None, None] * eye6
-        )
-        l_diag = _cholesky_unrolled(diag_blocks, 6)  # L L^T = diag_blocks
-        n_rel = j_rl_b.shape[0]
-        rel_blocks = jnp.concatenate(
-            [jnp.swapaxes(j_rl_b, 1, 2), jnp.swapaxes(j_rl_a, 1, 2), l_diag],
-            axis=0,
-        )  # (2R + P, 6, 6) — the stack rel_band_gather indexes into
-        rel_band_ok = (
-            plan.rel_band_local_pose is not None
-            and n_pose
-            <= _BAND_TP * (plan.rel_band_local_pose.shape[0] + 1)
-            # Band grams emit c-major blocks; only combine with a c-major S.
-            and cp_order
-        )
-        if rel_band_ok:
-            # Relpose factors couple consecutive poses and the damped
-            # diagonal is block-diagonal, so this gram is block-tridiagonal
-            # — the banded group gram computes it at ~1% of the dense
-            # V_rel gram's MXU FLOPs (and skips the V_rel element scatter).
-            s_rel, _ = _slot_gram(
-                rel_blocks,
-                plan.rel_band_gather,
-                None,
-                plan.rel_band_mask,
-                6,
-                band_local=plan.rel_band_local_pose,
+        if cp_order:
+            # Direct c-major assembly of the relpose + pose-diagonal
+            # contributions: the damped diagonal is block-diagonal and each
+            # relpose factor adds one 6x6 cross block at (before, after) —
+            # a gram formulation (r2's rel-band group gram) computes a full
+            # (G, 768, 768) product for what is a block-tridiagonal pattern
+            # of (2R + P) * 36 scalars. A direct element scatter-add of
+            # those blocks onto -(s_sub2 + s_sub_ob) costs one full-S pass
+            # + ~27k scattered elements (~0.1 ms) vs the gram's ~0.4 ms of
+            # MXU + one-hot build + a second group-fold (stepsub profile,
+            # 256-pose bench). Also EXACT: no gram summation roundoff, and
+            # no relpose span limit (wide loop-closure relpose pairs land
+            # the same way). j_rl_* are weighted and mask-zeroed, so dead
+            # capacity rows contribute exact zeros at clipped indices.
+            diag_blocks = (
+                act[:, None, None] * h_pp_d
+                + (1.0 - act)[:, None, None] * eye6
             )
-            s4 = (s_rel - s_sub2 - s_sub_ob).reshape(n_pose, 6, n_pose, 6)
+            rl_cross = _outer_rr(j_rl_b, j_rl_a)  # (R, 6, 6)
+            bidx = jnp.clip(tables.relpose.before_idx, 0, n_pose - 1)
+            aidx = jnp.clip(tables.relpose.after_idx, 0, n_pose - 1)
+            rows_blk = jnp.concatenate([diag_idx, bidx, aidx])
+            cols_blk = jnp.concatenate([diag_idx, aidx, bidx])
+            vals = jnp.concatenate(
+                [diag_blocks, rl_cross, jnp.swapaxes(rl_cross, -1, -2)],
+                axis=0,
+            )
+            ci = jnp.arange(6)
+            # c-major flat indices: (c, p) -> c * P + p.
+            rr_idx = ci[None, :, None] * n_pose + rows_blk[:, None, None]
+            cc_idx = ci[None, None, :] * n_pose + cols_blk[:, None, None]
+            s4 = (
+                (-(s_sub2 + s_sub_ob))
+                .at[rr_idx, cc_idx]
+                .add(vals)
+                .reshape(n_pose, 6, n_pose, 6)
+            )
         else:
+            diag_blocks = (
+                act[:, None, None] * (h_pp_d - h_pp_rel)
+                + (1.0 - act)[:, None, None] * eye6
+            )
+            l_diag = _cholesky_unrolled(diag_blocks, 6)  # L L^T = diag_blocks
+            n_rel = j_rl_b.shape[0]
+            rel_blocks = jnp.concatenate(
+                [jnp.swapaxes(j_rl_b, 1, 2), jnp.swapaxes(j_rl_a, 1, 2), l_diag],
+                axis=0,
+            )  # (2R + P, 6, 6) — the stack rel_band_gather indexes into
             k_rng = jnp.arange(n_rel, dtype=jnp.int32)
             live_rl = tables.relpose.mask
             v_rel = _dense_from_pairs(
@@ -1541,6 +1666,15 @@ def compute_step(
         s4 = s4_base.at[
             jnp.concatenate(s4_idx_a), :, jnp.concatenate(s4_idx_b), :
         ].add(jnp.concatenate(s4_updates, axis=0))
+
+    if _profile_stop == "sassembly":
+        pieces = [s4, b_p, b_l, b_o, grad_max]
+        for z in (z_pt, z_ob):
+            if isinstance(z, tuple):
+                pieces += list(z)
+            elif z is not None:
+                pieces.append(z)
+        return _profile_exit(*pieces)
 
     # Reduced RHS: b_S = b_p - sum_pairs W Hxx^-1 b_x. When the slot tensor
     # z = W G is live, W Hxx^-1 b = z (G^T b) is one MXU contraction over
@@ -1619,6 +1753,15 @@ def compute_step(
 
     b_s = b_s * act[:, None]
 
+    if _profile_stop == "rhs":
+        pieces = [s4, b_s, b_l, b_o, grad_max]
+        for z in (z_pt, z_ob):
+            if isinstance(z, tuple):
+                pieces += list(z)
+            elif z is not None:
+                pieces.append(z)
+        return _profile_exit(*pieces)
+
     # (Rows/cols of the folded s_sub2 for fixed or unconstrained poses are
     # exactly zero — their Jacobian blocks were masked before W assembly —
     # so folding it under the identity-diag masking above is safe.)
@@ -1663,6 +1806,15 @@ def compute_step(
         delta_p = delta_flat.reshape(6, n_pose).T
     else:
         delta_p = delta_flat.reshape(n_pose, 6)
+
+    if _profile_stop == "chol":
+        pieces = [delta_p, b_l, b_o, grad_max]
+        for z in (z_pt, z_ob):
+            if isinstance(z, tuple):
+                pieces += list(z)
+            elif z is not None:
+                pieces.append(z)
+        return _profile_exit(*pieces)
 
     # ---- back-substitution ----------------------------------------------
     # delta_x = Hxx^-1 (b_x - W^T delta_p). With z live the coupling term is
@@ -1766,43 +1918,40 @@ def compute_step(
     delta_o = delta_o * (~oo_singular[:, None]) * obj_free[:, None]
     delta_p = delta_p * act[:, None]
 
+    if _profile_stop == "backsub":
+        return _profile_exit(delta_p, delta_l, delta_o, grad_max)
+
     # ---- model cost change (Ceres: -m'(r + m/2), m = J*step) -------------
-    def jdelta(j_blocks_and_deltas):
-        out = 0.0
-        for j, d in j_blocks_and_deltas:
-            out = out + geo.bmv(j, d)
-        return out
+    # Algebraically, with b = -J^T r and H_u = J^T J (undamped robustified
+    # GN Hessian):       mcc = delta'b - 0.5 delta' H_u delta.
+    # The Schur solve satisfies the DAMPED system H_d delta = b exactly —
+    # landmark/object rows by back-substitution construction, pose rows up
+    # to the refined-Cholesky residual — and H_d = H_u + D with
+    # D = diag(clamp(diag(H_u))) / radius (Ceres' LM damping), so
+    # H_u delta = b - D delta and
+    #           mcc = 0.5 (delta'b + delta' D delta).
+    # This O(n) form replaces the per-factor J*step products, whose
+    # re-reading of every Jacobian block cost 0.55 ms/iter of pure HBM
+    # traffic on the 256-pose bench (tools/tpu_phase_bench stepsub); it
+    # also covers the param-prior blocks the J-products form skipped. When
+    # the factorization fails, delta = 0 gives mcc = 0, which both LM loops
+    # treat as an invalid model (reject + shrink) — Ceres'
+    # linear-solver-failure handling unchanged.
+    def _clip_diag(h):
+        return jnp.clip(
+            jnp.diagonal(h, axis1=-2, axis2=-1), _MIN_DIAG, _MAX_DIAG
+        )
 
-    m_rp = jdelta(
-        [
-            (j_rp_pose, delta_p[tables.reproj.pose_idx]),
-            (j_rp_point, delta_l[tables.reproj.point_idx]),
-        ]
+    quad_damp = (
+        jnp.sum(_clip_diag(h_pp) * delta_p * delta_p)
+        + jnp.sum(_clip_diag(h_ll) * delta_l * delta_l)
+        + jnp.sum(_clip_diag(h_oo) * delta_o * delta_o)
     )
-    m_bb = jdelta(
-        [
-            (j_bb_obj, delta_o[tables.bbox.obj_idx]),
-            (j_bb_pose, delta_p[tables.bbox.pose_idx]),
-        ]
-    )
-    m_sh = jdelta([(j_sh, delta_o[tables.shape.obj_idx])])
-    m_rl = jdelta(
-        [
-            (j_rl_b, delta_p[tables.relpose.before_idx]),
-            (j_rl_a, delta_p[tables.relpose.after_idx]),
-        ]
-    )
-    m_lt = jdelta([(j_lt, delta_o[tables.ltm.obj_idx])])
-
-    def mterm(m, r):
-        return -jnp.sum(m * (r + 0.5 * m))
-
-    model_cost_change = (
-        mterm(m_rp, r_rp)
-        + mterm(m_bb, r_bb)
-        + mterm(m_sh, r_sh)
-        + mterm(m_rl, r_rl)
-        + mterm(m_lt, r_lt)
+    model_cost_change = 0.5 * (
+        jnp.sum(delta_p * b_p)
+        + jnp.sum(delta_l * b_l)
+        + jnp.sum(delta_o * b_o)
+        + inv_radius * quad_damp
     )
 
     delta = BAState(poses=delta_p, points=delta_l, objects=delta_o)

@@ -9,8 +9,17 @@ unaffected by the tunnel's ~0.5s dispatch latency:
   gram     — the symmetric split-bf16 Schur gram of z (the headline matmul)
   chol     — dense Cholesky of S + 2 cho_solves + refinement matvec
   step     — the whole compute_step for reference
+  stepsub  — cumulative partial compute_step via the _profile_stop hooks
+             (resjac / hb / w / sassembly / rhs / chol / full) — the deltas
+             between consecutive stops attribute real device time to each
+             section of the step.
 
-Usage: python tools/tpu_phase_bench.py [reps]
+Every number is reported with the measured NULL-CHAIN FLOOR subtracted: one
+dispatch + one value readback through the axon tunnel costs ~25-30 ms
+regardless of the loop, so a REPS=50 chain overstates every phase by
+~0.5 ms/iter (r2's phase table had exactly that bias).
+
+Usage: python tools/tpu_phase_bench.py [reps] [phase,phase,...]
 """
 import pathlib
 import sys
@@ -25,7 +34,7 @@ import numpy as np
 from obvi_slam_tpu.solver import schur as sm
 from obvi_slam_tpu.synthetic import synthetic_problem
 
-REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 200
 PHASES = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else {
     "resjac", "zbuild", "gram", "chol", "step"}
 
@@ -46,8 +55,35 @@ n_pose = 256
 rng = np.random.default_rng(0)
 
 
+_FLOOR_S = None  # measured null-chain total (dispatch + readback), seconds
+
+
+def _measure_floor():
+    """One dispatch + one readback with a REPS-iteration null loop — the
+    fixed cost every chain() measurement pays once, independent of REPS."""
+    global _FLOOR_S
+    x0 = jax.device_put(jnp.ones((1536,), jnp.float32), dev)
+
+    @jax.jit
+    def loop(x):
+        return jax.lax.fori_loop(0, REPS, lambda _, x: x * 1.000001, x)
+
+    _ = float(jnp.sum(loop(x0)))
+    best = 1e9
+    for _i in range(3):
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(loop(x0)))
+        best = min(best, time.perf_counter() - t0)
+    _FLOOR_S = best
+    print(f"null-chain floor: {best * 1e3:.1f} ms per dispatch+readback "
+          f"({best / REPS * 1e3:.3f} ms/iter at REPS={REPS})", flush=True)
+
+
 def chain(fn, x0, label):
-    """Run fn REPS times with a data dependency; report per-iter ms."""
+    """Run fn REPS times with a data dependency; report per-iter ms with the
+    dispatch+readback floor subtracted."""
+    if _FLOOR_S is None:
+        _measure_floor()
 
     @jax.jit
     def loop(x):
@@ -60,16 +96,19 @@ def chain(fn, x0, label):
     out = loop(x0)
     _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))  # readback fence
     compile_and_first = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    out = loop(x0)
-    _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-    dt = time.perf_counter() - t0
+    best = 1e9
+    for _i in range(2):
+        t0 = time.perf_counter()
+        out = loop(x0)
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        best = min(best, time.perf_counter() - t0)
+    per_iter = (best - _FLOOR_S) / REPS
     print(
-        f"{label:8s} {dt / REPS * 1e3:8.3f} ms/iter   "
+        f"{label:10s} {per_iter * 1e3:8.3f} ms/iter   "
         f"(compile+first {compile_and_first:.1f}s)",
         flush=True,
     )
-    return dt / REPS
+    return per_iter
 
 
 # --- phase: residual+jacobian (pallas reproj + bbox) -----------------------
@@ -256,6 +295,40 @@ if "cholsub" in PHASES:
     t["chol_matvec0"] = chain(chol_matvec0, rhs0, "chol_matvec0")
 if "step" in PHASES:
     t["step"] = chain(step, (state, jnp.asarray(1e4, jnp.float32)), "step")
+if "stepsub" in PHASES:
+    # Cumulative partial steps via compute_step's _profile_stop hooks; the
+    # delta between consecutive stops is that section's real device time.
+    radius0 = jnp.asarray(1e4, jnp.float32)
+
+    def partial_step(stop):
+        def fn(carry):
+            s, bump = carry
+            out = sm.compute_step(
+                s, cams, tables, plan, free, weights, radius0 + bump, huber,
+                _profile_stop=stop,
+            )
+            return (s, 1e-30 * out)
+
+        return fn
+
+    stops = (
+        "resjac", "hb", "w", "ptw", "ptz", "ptgram", "ptfold", "obgram",
+        "sassembly", "rhs", "chol", "backsub",
+    )
+    cum = {}
+    for stop in stops:
+        cum[stop] = chain(
+            partial_step(stop),
+            (state, jnp.asarray(0.0, jnp.float32)),
+            f"->{stop}",
+        )
+    cum["full"] = chain(
+        step, (state, jnp.asarray(1e4, jnp.float32)), "->full")
+    prev = 0.0
+    print("\nsection deltas:", flush=True)
+    for stop in stops + ("full",):
+        print(f"  {stop:10s} {(cum[stop] - prev) * 1e3:8.3f} ms", flush=True)
+        prev = cum[stop]
 if len(t) == 5:
     other = t["step"] - (t["resjac"] + t["zbuild"] + t["gram"] + t["chol"])
     print(f"{'other':8s} {other * 1e3:8.3f} ms/iter (H/b assembly, RHS, "
