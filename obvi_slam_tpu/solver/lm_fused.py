@@ -76,17 +76,23 @@ def _cost_fn(state, cams, tables, weights, huber):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("params", "huber", "dense_schur"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "huber", "dense_schur", "with_records"),
+)
 def solve_fused_jit(
     state, cams, tables, plan, free, weights, params: LMParams, huber,
-    dense_schur=None,
+    dense_schur=None, with_records=False,
 ):
     dtype = state.poses.dtype
     max_it = params.max_num_iterations
 
     def zero_records():
-        z = jnp.zeros((max(max_it, 1),), dtype=dtype)
-        return z, z, z, z, jnp.zeros((max(max_it, 1),), dtype=bool)
+        # Static off-switch: the per-iteration record writes cost real time
+        # in the while body; carry length-1 dummies when nobody reads them.
+        n = max(max_it, 1) if with_records else 1
+        z = jnp.zeros((n,), dtype=dtype)
+        return z, z, z, z, jnp.zeros((n,), dtype=bool)
 
     init_cost = _cost_fn(state, cams, tables, weights, huber)
     rc, rch, rsn, rr, ra = zero_records()
@@ -223,13 +229,29 @@ def solve_fused_jit(
             acc_candidate_changes=acc_cand,
             acc_reference_changes=acc_ref,
             num_consecutive_nonmonotonic=n_nm,
-            rec_cost=c.rec_cost.at[i].set(c.cost),
-            rec_change=c.rec_change.at[i].set(jnp.where(accepted, cost_change, 0.0)),
-            rec_step_norm=c.rec_step_norm.at[i].set(
-                jnp.where(accepted, step_norm, 0.0)
+            rec_cost=(
+                c.rec_cost.at[i].set(c.cost) if with_records else c.rec_cost
             ),
-            rec_radius=c.rec_radius.at[i].set(new_radius),
-            rec_accepted=c.rec_accepted.at[i].set(accepted),
+            rec_change=(
+                c.rec_change.at[i].set(jnp.where(accepted, cost_change, 0.0))
+                if with_records
+                else c.rec_change
+            ),
+            rec_step_norm=(
+                c.rec_step_norm.at[i].set(jnp.where(accepted, step_norm, 0.0))
+                if with_records
+                else c.rec_step_norm
+            ),
+            rec_radius=(
+                c.rec_radius.at[i].set(new_radius)
+                if with_records
+                else c.rec_radius
+            ),
+            rec_accepted=(
+                c.rec_accepted.at[i].set(accepted)
+                if with_records
+                else c.rec_accepted
+            ),
         )
 
     final = jax.lax.while_loop(cond, body, carry)
@@ -264,7 +286,8 @@ def solve_fused(
         return state, s
 
     final, init_cost = solve_fused_jit(
-        state, cams, tables, plan, free, weights, params, huber
+        state, cams, tables, plan, free, weights, params, huber,
+        with_records=with_records,
     )
     summary = LMSummary()
     summary.initial_cost = float(init_cost)

@@ -241,7 +241,14 @@ def _band_layout(slot_gather, slot_pose, slot_mask, slot_land, n_pose,
     if np.any(live_row & (max_p - home * _BAND_TP >= 2 * _BAND_TP)):
         return None
     counts = np.bincount(home[live_row], minlength=n_group)
-    lg = max(lg_cap or 0, _round_up(int(counts.max()), bucket=64))
+    # Lg buckets at 128-row steps, NOT the coarse {2^k, 1.5*2^k} capacity
+    # grid: the group gram's contraction depth is 3*Lg, so geometric
+    # bucketing wasted up to 33% of the dominant MXU phase (bench problem:
+    # max group 1276 -> Lg 1536, 17% padding). 128-step rounding keeps
+    # 3*Lg a multiple of 384 (MXU-tile friendly) with <10% padding; jit
+    # signature stability in pipeline code still comes from the session
+    # high-water lg_cap, exactly as before.
+    lg = max(lg_cap or 0, -(-int(counts.max()) // 128) * 128)
     L, C = slot_mask.shape
     rows = np.nonzero(live_row)[0]
     order = rows[np.argsort(home[rows], kind="stable")]
@@ -1140,7 +1147,13 @@ def compute_step(
     # 2-D packed segment sums otherwise (_hb_pack note).
     n_pt_pair = plan.pt_pair_pose.shape[0]
     if plan.pt_pair_factor is not None:
-        w_pt = _outer_rr(j_rp_pose, j_rp_point)[plan.pt_pair_factor]
+        # Gather in the 2-D (F, 18) form: a (F, 6, 3) gather materializes
+        # with the 3-wide minor dim padded to a full 128-lane tile.
+        w_pt = (
+            _outer_rr(j_rp_pose, j_rp_point)
+            .reshape(-1, 18)[plan.pt_pair_factor]
+            .reshape(n_pt_pair, 6, 3)
+        )
     else:
         w_pt = jax.ops.segment_sum(
             _outer_rr(j_rp_pose, j_rp_point).reshape(-1, 18),
@@ -1150,7 +1163,11 @@ def compute_step(
     w_pt = w_pt * plan.pt_pair_mask[:, None, None].astype(dtype)
     n_ob_pair = plan.ob_pair_pose.shape[0]
     if plan.ob_pair_factor is not None:
-        w_ob = _outer_rr(j_bb_pose, j_bb_obj)[plan.ob_pair_factor]
+        w_ob = (
+            _outer_rr(j_bb_pose, j_bb_obj)
+            .reshape(-1, 42)[plan.ob_pair_factor]
+            .reshape(n_ob_pair, 6, 7)
+        )
     else:
         w_ob = jax.ops.segment_sum(
             _outer_rr(j_bb_pose, j_bb_obj).reshape(-1, 42),

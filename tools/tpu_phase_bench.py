@@ -295,6 +295,57 @@ if "cholsub" in PHASES:
     t["chol_matvec0"] = chain(chol_matvec0, rhs0, "chol_matvec0")
 if "step" in PHASES:
     t["step"] = chain(step, (state, jnp.asarray(1e4, jnp.float32)), "step")
+if "lmbody" in PHASES:
+    # LM while-loop body costs beyond compute_step: candidate cost eval,
+    # dynamic-cond while overhead, record updates.
+    from obvi_slam_tpu.solver import lm_fused as lmf
+
+    def costphase(carry):
+        s, bump = carry
+        c = lmf._cost_fn(s, cams, tables, weights, huber)
+        return (s, 1e-30 * c)
+
+    chain(costphase, (state, jnp.asarray(0.0, jnp.float32)), "costeval")
+
+    def whilenull(x):
+        def cond(c):
+            return c[1] < REPS
+
+        def body(c):
+            return (c[0] * 1.000001, c[1] + 1)
+
+        out = jax.lax.while_loop(cond, body, (x, jnp.asarray(0, jnp.int32)))
+        return out[0]
+
+    # NOT via chain(): the while IS the loop. Report per-iteration directly.
+    @jax.jit
+    def wrap(x):
+        return whilenull(x)
+
+    x0 = jax.device_put(jnp.ones((1536,), jnp.float32), dev)
+    _ = float(jnp.sum(wrap(x0)))
+    best = 1e9
+    for _i in range(3):
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(wrap(x0)))
+        best = min(best, time.perf_counter() - t0)
+    if _FLOOR_S is None:
+        _measure_floor()
+    print(f"{'whilenull':10s} {(best - _FLOOR_S) / REPS * 1e3:8.3f} ms/iter "
+          f"(dynamic-cond while_loop, null body)", flush=True)
+
+    def recphase(carry):
+        rec, i = carry
+        rec = jax.lax.dynamic_update_slice(rec, jnp.ones((1,), jnp.float32), (i % 20,))
+        return (rec, i + 1)
+
+    chain(
+        lambda c: recphase(c),
+        (jax.device_put(jnp.zeros((20,), jnp.float32), dev),
+         jnp.asarray(0, jnp.int32)),
+        "records",
+    )
+
 if "stepsub" in PHASES:
     # Cumulative partial steps via compute_step's _profile_stop hooks; the
     # delta between consecutive stops is that section's real device time.
