@@ -466,3 +466,172 @@ class TestSequenceExecutor:
         for name in ("session_0", "session_1"):
             poses = (out / name / "robot_poses.csv").read_text().strip().splitlines()
             assert len(poses) == 1 + 8
+
+
+class TestRealDataSequenceMetrics:
+    """VERDICT r2 #7: the full evaluation pipeline
+    (ltm_trajectory_sequence_executor.py:44-85 ->
+    compute_metrics_for_ut_vslam semantics) on REAL data — two overlapping
+    TUM fr2_pioneer_360 slices chained through cli/sequence_executor.py,
+    waypoint files at shared physical frames, pooled waypoint-deviation
+    output written in the reference's metric-file schema and re-read with
+    metrics/schema.py."""
+
+    @staticmethod
+    def _tum_slice(start, n):
+        """OfflineProblemData for TUM frames [start, start+n), node ids
+        renumbered from 0, in the shared TUM world frame."""
+        sys.path.insert(0, str(REPO / "tests"))
+        import test_tum_fixture as T
+        from obvi_slam_tpu.io.readers import read_tum_consecutive_matching
+        from obvi_slam_tpu.offline_data import OfflineProblemData
+        from obvi_slam_tpu.pose_graph import CameraInfo
+
+        gt_all, tracks_all, _ = read_tum_consecutive_matching(
+            T.TUM_DIR, max_frames=start + n
+        )
+        gt = {i: gt_all[start + i] for i in range(n)}
+        k_inv = np.linalg.inv(T.K)
+
+        rng = np.random.default_rng(start + 5)
+        init = {0: gt[0].copy()}
+        for i in range(1, n):
+            rp = Rotation.from_rotvec(gt[i - 1][3:]).as_matrix()
+            rc = Rotation.from_rotvec(gt[i][3:]).as_matrix()
+            rel_t = rp.T @ (gt[i][:3] - gt[i - 1][:3]) + rng.normal(size=3) * 0.01
+            rel_w = Rotation.from_matrix(rp.T @ rc).as_rotvec() + rng.normal(size=3) * 0.004
+            rpi = Rotation.from_rotvec(init[i - 1][3:]).as_matrix()
+            t = rpi @ rel_t + init[i - 1][:3]
+            r = rpi @ Rotation.from_rotvec(rel_w).as_matrix()
+            init[i] = np.concatenate([t, Rotation.from_matrix(r).as_rotvec()])
+
+        tracks, feat_init = {}, {}
+        for f, t in tracks_all.items():
+            sub = {
+                fr - start: obs for fr, obs in t.items()
+                if start <= fr < start + n
+            }
+            if len(sub) < 3:
+                continue
+            x = T.triangulate(sub, gt, k_inv)
+            fr0 = min(sub)
+            rw = Rotation.from_rotvec(gt[fr0][3:]).as_matrix()
+            pc = rw.T @ (x - gt[fr0][:3])
+            if 0.3 < pc[2] < 30 and np.linalg.norm(x) < 50:
+                tracks[f] = sub
+                feat_init[f] = x
+        assert len(tracks) > 100, len(tracks)
+        data = OfflineProblemData(
+            cameras={1: CameraInfo(T.K, np.eye(3), np.zeros(3))},
+            feature_tracks=tracks,
+            feature_init_positions=feat_init,
+            initial_poses=init,
+            bounding_boxes={},
+        )
+        return data, np.stack([gt[i] for i in range(n)])
+
+    @staticmethod
+    def _write_tum_config(path):
+        with open("/root/reference/config/base7_vis_feat_only.json") as f:
+            raw = json.load(f)
+        c = raw["config"]
+        c["sliding_window_params"] = {
+            "global_ba_frequency": "8", "local_ba_window_size": "8",
+        }
+        en = c["optimization_factors_enabled_params"]
+        en["use_pose_graph_on_global_ba"] = 0
+        en["use_pose_graph_on_final_global_ba"] = 0
+        en["use_visual_features_on_global_ba"] = 1
+        en["use_visual_features_on_final_global_ba"] = 1
+        en["min_low_level_feature_observations_per_frame"] = 15
+        en["min_low_level_feature_observations"] = 3
+        for key in (
+            "local_ba_iteration_params",
+            "global_ba_iteration_params",
+            "final_ba_iteration_params",
+        ):
+            c[key]["phase_one_opt_params"]["max_num_iterations"] = 8
+            c[key]["phase_two_opt_params"]["max_num_iterations"] = 10
+        with open(path, "w") as f:
+            json.dump(raw, f)
+        return path
+
+    def test_two_tum_sessions_waypoint_metrics(self, tmp_path):
+        n, overlap_start = 24, 12
+        slices = [(0, n), (overlap_start, n)]
+        seq, session_dirs, gts = [], [], []
+        for i, (start, count) in enumerate(slices):
+            data, gt = self._tum_slice(start, count)
+            sdir = tmp_path / f"tum{i}"
+            export_session(data, gt, sdir)
+            gts.append(gt)
+            session_dirs.append(sdir)
+            seq.append({
+                "name": f"session_{i}",
+                "intrinsics_file": str(sdir / "intrinsics.csv"),
+                "extrinsics_file": str(sdir / "extrinsics.csv"),
+                "poses_by_node_id_file": str(sdir / "poses.csv"),
+                "low_level_feats_dir": str(sdir / "orb_out"),
+            })
+        self._write_tum_config(tmp_path / "config.json")
+        with open(tmp_path / "sequence.json", "w") as f:
+            json.dump(seq, f)
+        out = tmp_path / "seq_out"
+        r = subprocess.run(
+            [sys.executable, str(REPO / "cli" / "sequence_executor.py"),
+             "--sequence_file", str(tmp_path / "sequence.json"),
+             "--output_dir", str(out),
+             "--params_config_file", str(tmp_path / "config.json"),
+             "--platform", "cpu"],
+            capture_output=True, text=True, timeout=2700,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2500:])
+
+        # Waypoints at original frames {14, 18, 22}: both sessions visit the
+        # same physical poses (the slices overlap), at different node ids.
+        wp_frames = [14, 18, 22]
+        results = []
+        for i, (start, count) in enumerate(slices):
+            wp_file = tmp_path / f"waypoints_{i}.json"
+            with open(wp_file, "w") as f:
+                json.dump(
+                    {str(w): [fr - start] for w, fr in enumerate(wp_frames)},
+                    f,
+                )
+            gt_file = tmp_path / f"gt_traj_{i}.csv"
+            with open(gt_file, "w") as f:
+                f.write("node_id,transl_x,transl_y,transl_z,quat_x,quat_y,quat_z,quat_w\n")
+                for frame, p in enumerate(gts[i]):
+                    q = Rotation.from_rotvec(p[3:6]).as_quat()
+                    f.write(f"{frame},{p[0]},{p[1]},{p[2]},{q[0]},{q[1]},{q[2]},{q[3]}\n")
+            results.append({
+                "name": f"session_{i}",
+                "est_trajectory_file": str(out / f"session_{i}" / "robot_poses.csv"),
+                "gt_trajectory_file": str(gt_file),
+                "waypoints_file": str(wp_file),
+            })
+        with open(tmp_path / "seq_results.json", "w") as f:
+            json.dump(results, f)
+        metrics_out = tmp_path / "seq_metrics.json"
+        ref_out = tmp_path / "ref_metrics.json"
+        run_cli(
+            "compute_metrics_for_sequence.py",
+            ["--sequence_results_file", str(tmp_path / "seq_results.json"),
+             "--metrics_out_file", str(metrics_out),
+             "--ref_schema_out_file", str(ref_out)],
+        )
+
+        from obvi_slam_tpu.metrics import schema
+
+        seq_m, indiv = schema.read_metrics_file(str(ref_out))
+        assert len(indiv) == 2
+        # Real-data sanity: both sessions track the TUM ground truth.
+        assert seq_m["ate"].rmse_transl_err < 0.5, seq_m["ate"].rmse_transl_err
+        # 3 waypoints x 2 sessions in one shared frame -> one pooled
+        # deviation per visit.
+        devs = seq_m["all_translation_deviations"]
+        assert len(devs) == 2 * len(wp_frames)
+        # Shared-world estimates at identical physical poses agree to
+        # sub-half-meter (bounded by per-session drift on 24 real frames).
+        assert max(devs) < 0.5, devs
