@@ -49,6 +49,25 @@ from obvi_slam_tpu.timing import timer
 
 logger = logging.getLogger(__name__)
 
+import functools
+
+import jax
+
+
+@functools.cache
+def _all_residuals_jit_for(invalid_error: float):
+    import obvi_slam_tpu.factors as fac
+
+    return jax.jit(
+        lambda state, cams, tables: fac.all_residuals(
+            state, cams, tables, invalid_error
+        )
+    )
+
+
+def _all_residuals_jit(state, cams, tables, invalid_error):
+    return _all_residuals_jit_for(float(invalid_error))(state, cams, tables)
+
 
 def provide_optimization_window(max_frame_to_opt, max_frame_id, sliding_window_params):
     """run_opt_utils.h:101-116 verbatim."""
@@ -387,11 +406,17 @@ class OfflineProblemRunner:
             self._log_solve(problem, summary, next_frame_id, global_ba, 1, attempt_num)
 
             if two_phase:
-                # Outlier selection on post-phase-1 residuals.
-                import obvi_slam_tpu.factors as fac
-
-                res = fac.all_residuals(
-                    state, problem.cams, problem.tables, problem.huber.invalid_ellipse_error
+                # Outlier selection on post-phase-1 residuals. Jitted + ONE
+                # batched device->host transfer: the previous eager call
+                # dispatched every primitive separately — harmless on CPU,
+                # but on the remote-TPU tunnel each op is a ~30 ms round
+                # trip and this pass dominated e2e wall time (~15 s per
+                # global BA measured on the 40-frame TUM bench).
+                res = jax.device_get(
+                    _all_residuals_jit(
+                        state, problem.cams, problem.tables,
+                        problem.huber.invalid_ellipse_error,
+                    )
                 )
                 excluded: Set[Tuple[int, int]] = set()
                 for ftype, key, rows, w in (
@@ -496,12 +521,10 @@ class OfflineProblemRunner:
     @staticmethod
     def _num_free_params(problem) -> int:
         """num_parameters_reduced equivalent (free blocks only)."""
-        free = problem.free
-        return int(
-            6 * np.sum(np.asarray(free.poses))
-            + 3 * np.sum(np.asarray(free.points))
-            + 7 * np.sum(np.asarray(free.objects))
+        p, x, o = jax.device_get(
+            (problem.free.poses, problem.free.points, problem.free.objects)
         )
+        return int(6 * np.sum(p) + 3 * np.sum(x) + 7 * np.sum(o))
 
     # ------------------------------------------------------------------
     def run_optimization(

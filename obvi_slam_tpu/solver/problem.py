@@ -674,12 +674,14 @@ def reweight_for_exclusions(
 def write_back(pg: PoseGraph, problem: Problem, state: T.BAState):
     """Write optimized values back into the pose graph (free blocks only —
     constant blocks are unchanged by construction but we skip them anyway)."""
-    poses = np.asarray(state.poses)
-    points = np.asarray(state.points)
-    objects = np.asarray(state.objects)
-    pose_free = np.asarray(problem.free.poses)
-    point_free = np.asarray(problem.free.points)
-    obj_free = np.asarray(problem.free.objects)
+    # ONE batched device->host transfer (six sequential np.asarray reads
+    # cost six tunnel round trips on remote TPU).
+    import jax
+
+    poses, points, objects, pose_free, point_free, obj_free = jax.device_get((
+        state.poses, state.points, state.objects,
+        problem.free.poses, problem.free.points, problem.free.objects,
+    ))
     for i, frame in enumerate(problem.pose_rows):
         if pose_free[i]:
             pg.robot_poses[int(frame)] = poses[i].copy()

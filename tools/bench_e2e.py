@@ -32,6 +32,15 @@ def main(argv=None):
 
     import jax
 
+    # Same persistent compile cache as bench.py: a cold e2e run is compile-
+    # dominated (40 TUM frames: 921 s cold vs the warm device time), and the
+    # driver runs this tier under a budget.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).parent.parent / ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.f64:
