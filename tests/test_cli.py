@@ -138,6 +138,7 @@ def run_cli(script, args, timeout=900):
 
 
 class TestMainCli:
+    @pytest.mark.slow
     def test_full_session(self, session_files):
         out, gt_poses, gt_objects = session_files
         res_dir = out / "results"
@@ -319,6 +320,7 @@ class TestUtilityBinaries:
 
 
 class TestCheckpointResume:
+    @pytest.mark.slow
     def test_checkpoint_then_resume_and_ltm_tools(self, tmp_path):
         # Small session with checkpointing, then resume + LTM tools.
         data, gt_poses, gt_objects = make_object_session(n_frames=8, seed=44)
@@ -424,6 +426,7 @@ class TestCheckpointResume:
 
 
 class TestSequenceExecutor:
+    @pytest.mark.slow
     def test_two_session_ltm_chaining(self, tmp_path):
         """ltm_trajectory_sequence_executor.py:44-85 equivalent: session 1's
         LTM must seed session 2 (the second run reassociates detections to
@@ -556,6 +559,7 @@ class TestRealDataSequenceMetrics:
             json.dump(raw, f)
         return path
 
+    @pytest.mark.slow
     def test_two_tum_sessions_waypoint_metrics(self, tmp_path):
         n, overlap_start = 24, 12
         slices = [(0, n), (overlap_start, n)]

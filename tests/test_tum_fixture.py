@@ -109,6 +109,7 @@ def tum_config():
 
 
 class TestTumMinimumSlice:
+    @pytest.mark.slow
     def test_sliding_window_ba_on_real_data(self, tum_session):
         data, gt_poses = tum_session
         config = tum_config()
@@ -144,6 +145,7 @@ class TestTumMinimumSlice:
         assert len(pg.features) > 100
         type(self)._ate_f64 = ate_est
 
+    @pytest.mark.slow
     def test_sliding_window_ba_on_real_data_f32(self, tum_session):
         """f32 (the TPU deployment dtype) end-to-end on the same real data
         must meet the SAME ATE bounds as the f64 run — SURVEY hard part #5
