@@ -1791,7 +1791,11 @@ def compute_step(
         s_sym = s_dense
     else:
         s_sym = 0.5 * (s_dense + s_dense.T)
-    chol = jnp.linalg.cholesky(s_sym)
+    # symmetrize_input=False: jnp.linalg.cholesky inserts a (S + S^T)/2
+    # pass first; s_sym is already symmetric (explicitly on the pair path,
+    # up to summation-order roundoff on the gram path, which Cholesky —
+    # reading one triangle — is insensitive to).
+    chol = jax.lax.linalg.cholesky(s_sym, symmetrize_input=False)
     # c-major S (banding): permute the rhs to match — a symmetric
     # permutation of the system, so the factorization/solve are unchanged.
     rhs = b_s.T.reshape(-1) if cp_order else b_s.reshape(-1)

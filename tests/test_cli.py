@@ -639,3 +639,85 @@ class TestRealDataSequenceMetrics:
         # Shared-world estimates at identical physical poses agree to
         # sub-half-meter (bounded by per-session drift on 24 real frames).
         assert max(devs) < 0.5, devs
+
+
+class TestComparisonSystemLaunchers:
+    """ROS-free third-party SLAM launchers (reference
+    src/evaluation/run_orb_slam_2.py / run_multi_session_orb_slam_3.py /
+    run_lego_loam.py semantics): per-session {index}_{name} dirs, dry-run
+    command expansion, skip-if-legitimate-results, force rerun, and
+    map chaining for the multi-session variant."""
+
+    def _seq(self, tmp_path, names=("bagA", "bagB")):
+        seq = tmp_path / "sequence.json"
+        with open(seq, "w") as f:
+            json.dump([{"name": n} for n in names], f)
+        return seq
+
+    def test_orbslam2_dry_run_commands(self, tmp_path):
+        seq = self._seq(tmp_path)
+        r = run_cli(
+            "run_orb_slam_2.py",
+            ["--orb_slam_vocabulary_file", "/v/voc.txt",
+             "--orb_slam_configuration_file", "/c/stereo.yaml",
+             "--sequence_file", str(seq),
+             "--orb_slam_2_out_root_dir", str(tmp_path / "out"),
+             "--session_input_root", "/bags",
+             "--dry_run"],
+        )
+        lines = [l for l in r.stdout.splitlines() if "session" in l]
+        assert len(lines) == 2
+        assert "ORB_SLAM2_Stereo /v/voc.txt /c/stereo.yaml false" in lines[0]
+        assert str(tmp_path / "out" / "0_bagA") in lines[0]
+        assert "/bags/bagA" in lines[0]
+        assert str(tmp_path / "out" / "1_bagB") in lines[1]
+
+    def test_orbslam3_map_chaining(self, tmp_path):
+        seq = self._seq(tmp_path)
+        r = run_cli(
+            "run_multi_session_orb_slam_3.py",
+            ["--orb_slam_vocabulary_file", "/v/voc.txt",
+             "--orb_slam_configuration_file", "/c/stereo.yaml",
+             "--sequence_file", str(seq),
+             "--orb_slam_3_out_root_dir", str(tmp_path / "out"),
+             "--dry_run"],
+        )
+        lines = [l for l in r.stdout.splitlines() if "session" in l]
+        # Session 0 writes map.bin; session 1 receives it as {map_in}.
+        map0 = str(tmp_path / "out" / "0_bagA" / "map.bin")
+        assert lines[0].rstrip().endswith(map0)
+        assert map0 in lines[1]
+        assert str(tmp_path / "out" / "1_bagB" / "map.bin") in lines[1]
+
+    def test_skip_and_force_rerun(self, tmp_path):
+        from cli.run_comparison_system import FINAL_TRAJECTORY_BASENAME
+
+        seq = self._seq(tmp_path, names=("bagA",))
+        out = tmp_path / "out"
+        sdir = out / "0_bagA"
+        sdir.mkdir(parents=True)
+        (sdir / FINAL_TRAJECTORY_BASENAME).write_text("node_id\n")
+        (sdir / "extra.txt").write_text("x\n")
+        base = ["--sequence_file", str(seq),
+                "--lego_loam_out_root_dir", str(out),
+                "--dry_run"]
+        r = run_cli("run_lego_loam.py", base)
+        assert "skipping bagA" in r.stdout
+        r = run_cli("run_lego_loam.py", base + ["--force_rerun"])
+        assert "skipping" not in r.stdout
+        assert "lego_loam_runner" in r.stdout
+
+    def test_real_subprocess_execution(self, tmp_path):
+        """Non-dry run with a stand-in 'binary' (touch) actually executes
+        per session and creates the session dirs."""
+        seq = self._seq(tmp_path)
+        out = tmp_path / "out"
+        r = run_cli(
+            "run_comparison_system.py",
+            ["--system_name", "fake",
+             "--sequence_file", str(seq),
+             "--results_root_dir", str(out),
+             "--command_template", "touch {output_dir}/ran_{name}"],
+        )
+        assert (out / "0_bagA" / "ran_bagA").exists()
+        assert (out / "1_bagB" / "ran_bagB").exists()
