@@ -374,8 +374,51 @@ def main():
     except Exception:
         pass
 
-    # ENRICHED line (same schema + tiers) — last JSON line of stdout.
-    print(json.dumps(record), flush=True)
+    # COMPACT summary as the LAST line of stdout (VERDICT r3 #7: the full
+    # enriched record is several KB and the driver's tail window truncated
+    # its head, leaving the artifact's parsed field null). Value + platform +
+    # headline tier numbers + pass/fail checks only; full detail stays in the
+    # sidecar.
+    def _num(x):
+        return round(float(x), 4) if isinstance(x, (int, float)) else None
+
+    sol = record.get("sol") or {}
+    checks_ok = True
+    pc = record.get("pallas_check")
+    if isinstance(pc, dict):
+        errs = [v for v in pc.values() if isinstance(v, (int, float))]
+        checks_ok &= bool(errs) and max(errs) < 1e-3
+    elif accel:
+        checks_ok = False
+    sc = record.get("step_check")
+    if isinstance(sc, dict):
+        checks_ok &= sc.get("step_rel_err_vs_cpu_f32", 1.0) < 5e-3
+    elif accel:
+        checks_ok = False
+    compact = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "vs_baseline": record["vs_baseline"],
+        "platform": record["platform"],
+        "per_iter_ms": record["per_iter_ms"],
+        "sol_fraction": _num(sol.get("sol_fraction")),
+        "checks_ok": bool(checks_ok),
+    }
+    for key, field in (
+        ("e2e", "e2e_fps"),
+        ("e2e_cpu", "e2e_cpu_fps"),
+        ("e2e_objects", "e2e_objects_fps"),
+    ):
+        tier = record.get(key)
+        compact[field] = (
+            _num(tier.get("frames_per_s")) if isinstance(tier, dict) else None
+        )
+    s1024 = record.get("scale_1024")
+    compact["scale_1024_ips"] = (
+        _num(s1024.get("iters_per_s")) if isinstance(s1024, dict) else None
+    )
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":
