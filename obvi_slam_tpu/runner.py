@@ -164,6 +164,7 @@ class OfflineProblemRunner:
         mesh=None,
         shard_local_ba: bool = False,
         use_fused_solver: bool = None,
+        use_device_sync: bool = None,
     ):
         self.config = config
         self.hooks = hooks or RunnerHooks()
@@ -174,6 +175,17 @@ class OfflineProblemRunner:
         # ``caps`` to build_problem so jit signatures change only on
         # high-water growth (problem.observed_caps).
         self._caps_pools = {}
+        # Device-resident session tables (solver/device_sync.py): per solve
+        # class, the built problem is diff-synced to persistent device
+        # buffers — only changed rows cross the host->device link, replacing
+        # the per-window full re-upload (the top e2e cost on the remote-TPU
+        # tunnel). None = auto (on when no mesh; the sharded path places
+        # arrays itself). Global-BA problems additionally pin landmark rows
+        # to first-appearance order (row_registry) so successive global
+        # builds are append-only.
+        self._use_device_sync = use_device_sync
+        self._device_syncs = {}
+        self._row_registries = {}
         # Multi-chip scale-out (the capability the reference lacks — its
         # solver is Ceres threads only, SURVEY.md §2.11): when a
         # jax.sharding.Mesh is given, global-BA problems are resharded onto
@@ -190,6 +202,87 @@ class OfflineProblemRunner:
     # ------------------------------------------------------------------
     def caps_pool(self, key: str) -> dict:
         return self._caps_pools.setdefault(key, {})
+
+    # ------------------------------------------------------------------
+    def _sync_enabled(self) -> bool:
+        if self.mesh is not None:
+            return False
+        if self._use_device_sync is None:
+            return True
+        return bool(self._use_device_sync)
+
+    def device_sync_for(self, key: str):
+        from obvi_slam_tpu.solver.device_sync import DeviceSync
+
+        return self._device_syncs.setdefault(key, DeviceSync())
+
+    def sync_report(self) -> dict:
+        """Bytes uploaded through each session DeviceSync (observability for
+        the e2e bench: bytes-per-solve is the number the session tables are
+        meant to shrink)."""
+        return {
+            k: {
+                "total_bytes": s.total_bytes,
+                "n_syncs": s.n_syncs,
+                "bytes_per_sync": s.total_bytes / max(s.n_syncs, 1),
+            }
+            for k, s in self._device_syncs.items()
+        }
+
+    def build_problem_synced(
+        self, pg, scope, key: str, residual_params=None, **build_kw
+    ):
+        """build_problem + caps-pool update + device sync (or mesh shard).
+
+        The single entry point pipeline code should use: returns a Problem
+        whose arrays live in the session's device-resident buffers when
+        sync is enabled."""
+        pool = self.caps_pool(key)
+        use_sync = self._sync_enabled()
+        registry = None
+        if use_sync and key == "global":
+            registry = self._row_registries.setdefault(key, {})
+        problem = build_problem(
+            pg,
+            scope,
+            residual_params
+            if residual_params is not None
+            else self.config.object_visual_pose_graph_residual_params,
+            dtype=self.dtype,
+            caps=pool,
+            to_device=not use_sync,
+            row_registry=registry,
+            **build_kw,
+        )
+        update_caps_pool(pool, problem)
+        if use_sync:
+            problem = self._sync_problem(key, problem)
+        return problem
+
+    def _sync_problem(self, key: str, problem):
+        from dataclasses import replace
+
+        sync = self.device_sync_for(key)
+        state, cams, tables, plan, free, weights = sync.sync(
+            key,
+            (
+                problem.state,
+                problem.cams,
+                problem.tables,
+                problem.plan,
+                problem.free,
+                problem.weights,
+            ),
+        )
+        return replace(
+            problem,
+            state=state,
+            cams=cams,
+            tables=tables,
+            plan=plan,
+            free=free,
+            weights=weights,
+        )
 
     # ------------------------------------------------------------------
     def solve(self, problem, params, weights=None):
@@ -384,16 +477,10 @@ class OfflineProblemRunner:
             with timer(
                 ("phase_one_gba_build_opt" if global_ba else "phase_one_lba_build_opt")
             ):
-                pool = self.caps_pool("global" if global_ba else "local")
-                problem = build_problem(
-                    pg,
-                    scope,
-                    self.config.object_visual_pose_graph_residual_params,
-                    dtype=self.dtype,
-                    caps=pool,
-                )
-                update_caps_pool(pool, problem)
-                problem = self._maybe_shard(problem, global_ba)
+                key = "global" if global_ba else "local"
+                problem = self.build_problem_synced(pg, scope, key)
+                if not self._sync_enabled():
+                    problem = self._maybe_shard(problem, global_ba)
             snapshot = pg.snapshot_values()
 
             with timer(
@@ -437,9 +524,21 @@ class OfflineProblemRunner:
                 with timer(
                     ("phase_two_gba_build_opt" if global_ba else "phase_two_lba_build_opt")
                 ):
-                    weights2 = self._maybe_shard_weights(
-                        reweight_for_exclusions(pg, problem, excluded), global_ba
-                    )
+                    if self._sync_enabled():
+                        from obvi_slam_tpu.types import host_build
+
+                        with host_build():
+                            weights2 = reweight_for_exclusions(
+                                pg, problem, excluded
+                            )
+                        weights2 = self.device_sync_for(key).sync(
+                            key + "/w2", weights2
+                        )
+                    else:
+                        weights2 = self._maybe_shard_weights(
+                            reweight_for_exclusions(pg, problem, excluded),
+                            global_ba,
+                        )
                 with timer(
                     ("phase_two_gba_solve_opt" if global_ba else "phase_two_lba_solve_opt")
                 ):
@@ -450,7 +549,16 @@ class OfflineProblemRunner:
                     )
                 self._log_solve(problem, summary, next_frame_id, global_ba, 2, attempt_num)
 
-            write_back(pg, problem, state)
+            fetched = write_back(pg, problem, state)
+            if self._sync_enabled():
+                # Adopt the solved state: next build's diff then uploads only
+                # externally changed rows (new frames/landmarks), not every
+                # row the solver moved.
+                from obvi_slam_tpu import types as T
+
+                self.device_sync_for(key).adopt(
+                    key + "[0]", state, T.BAState(*fetched)
+                )
 
             # Jump detection -> full revert (offline_problem_runner.h:895-905).
             if iteration_params.allow_reversion_after_detecting_jumps:

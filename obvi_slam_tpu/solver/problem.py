@@ -32,6 +32,7 @@ import numpy as np
 from scipy.spatial.transform import Rotation
 
 from obvi_slam_tpu import types as T
+from obvi_slam_tpu.types import asarray as _asarray
 from obvi_slam_tpu.pose_graph import (
     OBJECT_OBSERVATION_FACTOR,
     batched_sqrt_inf,
@@ -224,6 +225,24 @@ def compute_inclusion_weights(
     return rp_w, bb_w, sh_w, rl_w, lt_w, included_objects, objs_with_object_only
 
 
+def _registry_rows(registry: dict, kind: str, current_sorted) -> List[int]:
+    """Session row assignment: first-appearance order, append-only.
+
+    ``registry`` is a per-session dict (one per caps pool); ids keep their row
+    for the whole session so successive global-BA builds produce tables that
+    differ only in appended/changed rows — the property the device diff-sync
+    exploits. Ids that left the pose graph (merged objects) stay as
+    tombstone rows."""
+    ids_list = registry.setdefault(kind + "_ids", [])
+    id_map = registry.setdefault(kind + "_map", {})
+    for i in current_sorted:
+        i = int(i)
+        if i not in id_map:
+            id_map[i] = len(ids_list)
+            ids_list.append(i)
+    return ids_list
+
+
 def build_problem(
     pg: PoseGraph,
     scope: Scope,
@@ -233,6 +252,8 @@ def build_problem(
     caps: Optional[dict] = None,
     synthesized_relpose: Optional[list] = None,
     relpose_huber_override: Optional[float] = None,
+    to_device: bool = True,
+    row_registry: Optional[dict] = None,
 ) -> Problem:
     """Gather the window into device tables.
 
@@ -242,7 +263,33 @@ def build_problem(
     runPgoPlusEllipsoids, which builds chain factors from current estimates
     (pose_graph_plus_objects_optimizer.h:94-131) rather than from odometry.
     ``relpose_huber_override``: PGO uses its own relpose Huber delta (5.0).
+    ``to_device=False``: return numpy arrays (for device_sync diff-upload).
+    ``row_registry``: session dict giving features/objects stable
+    first-appearance rows (see _registry_rows).
     """
+    if not to_device:
+        with T.host_build():
+            return _build_problem_impl(
+                pg, scope, residual_params, excluded, dtype, caps,
+                synthesized_relpose, relpose_huber_override, row_registry,
+            )
+    return _build_problem_impl(
+        pg, scope, residual_params, excluded, dtype, caps,
+        synthesized_relpose, relpose_huber_override, row_registry,
+    )
+
+
+def _build_problem_impl(
+    pg: PoseGraph,
+    scope: Scope,
+    residual_params,
+    excluded,
+    dtype,
+    caps,
+    synthesized_relpose,
+    relpose_huber_override,
+    row_registry,
+) -> Problem:
     cams, cam_idx_map = camera_bundle_from_pose_graph(pg, dtype)
 
     frames = [
@@ -270,13 +317,26 @@ def build_problem(
     # Landmark rows: every feature/object referenced by a candidate factor.
     vf_cols = pg.visual_factor_columns()
     oo_cols = pg.object_observation_columns()
-    feat_ids = np.unique(vf_cols["feature_id"][reproj_rows]).tolist()
-    point_row_of = {f: i for i, f in enumerate(feat_ids)}
-    obj_ids = set(np.unique(oo_cols["object_id"][bbox_rows]).tolist())
+    cur_feat = np.unique(vf_cols["feature_id"][reproj_rows]).tolist()
+    cur_obj = set(np.unique(oo_cols["object_id"][bbox_rows]).tolist())
     if scope.force_include_ltm_objs:
-        obj_ids |= pg.ltm_object_ids
-    obj_ids = sorted(obj_ids)
+        cur_obj |= pg.ltm_object_ids
+    cur_obj = sorted(cur_obj)
+    if row_registry is not None:
+        feat_ids = _registry_rows(row_registry, "feat", cur_feat)
+        obj_ids = _registry_rows(row_registry, "obj", cur_obj)
+    else:
+        feat_ids = cur_feat
+        obj_ids = cur_obj
+    point_row_of = {f: i for i, f in enumerate(feat_ids)}
     obj_row_of = {o: i for i, o in enumerate(obj_ids)}
+    # Tombstones: registry rows whose id left the pose graph (merged-away
+    # objects). They keep their row (zero state, not free, no factors).
+    dead_obj = (
+        [i for i, o in enumerate(obj_ids) if o not in pg.objects]
+        if row_registry is not None
+        else []
+    )
 
     # Object-only factor rows for the candidate objects.
     shape_rows = []
@@ -322,13 +382,19 @@ def build_problem(
 
     poses = _pad_rows([pg.robot_poses[f] for f in frames], pose_cap, 6)
     points = _pad_rows([pg.features[f] for f in feat_ids], point_cap, 3)
+    _zeros7 = np.zeros(7)
     objects = _pad_rows(
-        [pg.objects[o].ellipsoid for o in obj_ids], obj_cap, 7
+        [
+            pg.objects[o].ellipsoid if o in pg.objects else _zeros7
+            for o in obj_ids
+        ],
+        obj_cap,
+        7,
     )
     state = T.BAState(
-        poses=jnp.asarray(poses.astype(dtype)),
-        points=jnp.asarray(points.astype(dtype)),
-        objects=jnp.asarray(objects.astype(dtype)),
+        poses=_asarray(poses.astype(dtype)),
+        points=_asarray(points.astype(dtype)),
+        objects=_asarray(objects.astype(dtype)),
     )
 
     # --- vectorized row-id -> table-row lookups -----------------------------
@@ -344,19 +410,24 @@ def build_problem(
         count=len(cam_idx_map),
     )
 
-    def rows_of(sorted_ids, ids):
+    def rows_of(row_ids, ids):
         """Dict-lookup replacement; membership-checked so a factor that
         references a missing pose/feature/object/camera fails loudly at
         build time (like the old per-factor dict KeyError) instead of
-        silently indexing a wrong row."""
+        silently indexing a wrong row. ``row_ids`` is the id of each table
+        row in ROW order (registry order when a row_registry is active —
+        not necessarily sorted)."""
         ids = np.asarray(ids)
         if len(ids) == 0:
             return np.zeros(0, dtype=np.int64)
-        if len(sorted_ids) == 0:
+        if len(row_ids) == 0:
             raise KeyError(
                 f"factors reference ids {np.unique(ids)[:10].tolist()} but the "
                 "window has no rows of that kind"
             )
+        row_ids = np.asarray(row_ids, dtype=np.int64)
+        order = np.argsort(row_ids, kind="stable")
+        sorted_ids = row_ids[order]
         idx = np.searchsorted(sorted_ids, ids)
         clipped = np.minimum(idx, len(sorted_ids) - 1)
         bad = sorted_ids[clipped] != ids
@@ -365,7 +436,7 @@ def build_problem(
                 f"factor references ids absent from the window tables: "
                 f"{np.unique(ids[bad])[:10].tolist()}"
             )
-        return idx.astype(np.int64)
+        return order[clipped].astype(np.int64)
 
     # --- reprojection table ------------------------------------------------
     fx = np.asarray(cams.fx)
@@ -500,17 +571,19 @@ def build_problem(
             for o in obj_ids:
                 if o in pg.ltm_object_ids:
                     obj_free[obj_row_of[o]] = False
+        for i in dead_obj:  # merged-away registry tombstones
+            obj_free[i] = False
     free = T.FreeMasks(
-        poses=jnp.asarray(pose_free),
-        points=jnp.asarray(point_free),
-        objects=jnp.asarray(obj_free),
+        poses=_asarray(pose_free),
+        points=_asarray(point_free),
+        objects=_asarray(obj_free),
     )
 
     # --- weights -----------------------------------------------------------
     def padv(v, cap):
         out = np.zeros(cap, dtype=dtype)
         out[: len(v)] = v
-        return jnp.asarray(out)
+        return _asarray(out)
 
     weights = schur_mod.FactorWeights(
         reproj=padv(rp_w, rp_cap),
@@ -660,7 +733,7 @@ def reweight_for_exclusions(
     def padv(v, cap):
         out = np.zeros(cap, dtype=dtype)
         out[: len(v)] = v
-        return jnp.asarray(out)
+        return _asarray(out)
 
     return schur_mod.FactorWeights(
         reproj=padv(rp_w, problem.tables.reproj.capacity),
@@ -673,7 +746,11 @@ def reweight_for_exclusions(
 
 def write_back(pg: PoseGraph, problem: Problem, state: T.BAState):
     """Write optimized values back into the pose graph (free blocks only —
-    constant blocks are unchanged by construction but we skip them anyway)."""
+    constant blocks are unchanged by construction but we skip them anyway).
+
+    Returns the fetched host (poses, points, objects) so callers can adopt
+    them into a DeviceSync cache (the solved state then diffs clean against
+    the next build)."""
     # ONE batched device->host transfer (six sequential np.asarray reads
     # cost six tunnel round trips on remote TPU).
     import jax
@@ -691,3 +768,4 @@ def write_back(pg: PoseGraph, problem: Problem, state: T.BAState):
     for i, obj in enumerate(problem.obj_rows):
         if obj_free[i]:
             pg.objects[int(obj)].ellipsoid = objects[i].copy()
+    return poses, points, objects

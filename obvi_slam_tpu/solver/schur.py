@@ -34,6 +34,7 @@ import numpy as np
 from obvi_slam_tpu import factors as fac
 from obvi_slam_tpu import geometry as geo
 from obvi_slam_tpu.types import BAState, CameraBundle, FactorTables, FreeMasks
+from obvi_slam_tpu.types import asarray as _t_asarray
 
 
 class FactorWeights(NamedTuple):
@@ -582,7 +583,7 @@ def build_schur_plan(
             pt_slot_land,
             pt_band_local_pose,
         ) = band
-        pt_band_local_pose = jnp.asarray(pt_band_local_pose)
+        pt_band_local_pose = _t_asarray(pt_band_local_pose)
     rel_band_gather = rel_band_mask = rel_band_local_pose = None
     if rl_before is not None and rl_cap:
         rel_band = _rel_band_layout(
@@ -590,9 +591,9 @@ def build_schur_plan(
             caps.get("rel_band_lg"),
         )
         if rel_band is not None:
-            rel_band_gather = jnp.asarray(rel_band[0])
-            rel_band_mask = jnp.asarray(rel_band[1])
-            rel_band_local_pose = jnp.asarray(rel_band[2])
+            rel_band_gather = _t_asarray(rel_band[0])
+            rel_band_mask = _t_asarray(rel_band[1])
+            rel_band_local_pose = _t_asarray(rel_band[2])
     pt_pair_factor = _pair_factor_gather(
         rp_factor_pair, rp.mask, len(pt_pair_pose)
     )
@@ -605,41 +606,41 @@ def build_schur_plan(
         rel_band_mask=rel_band_mask,
         rel_band_local_pose=rel_band_local_pose,
         pt_pair_factor=(
-            None if pt_pair_factor is None else jnp.asarray(pt_pair_factor)
+            None if pt_pair_factor is None else _t_asarray(pt_pair_factor)
         ),
         ob_pair_factor=(
-            None if ob_pair_factor is None else jnp.asarray(ob_pair_factor)
+            None if ob_pair_factor is None else _t_asarray(ob_pair_factor)
         ),
-        rp_factor_pair=jnp.asarray(rp_factor_pair),
-        pt_pair_pose=jnp.asarray(pt_pair_pose),
-        pt_pair_point=jnp.asarray(pt_pair_point),
-        pt_pair_mask=jnp.asarray(pt_pair_mask),
-        pt_cross_a=jnp.asarray(pt_cross_a),
-        pt_cross_b=jnp.asarray(pt_cross_b),
-        pt_cross_mask=jnp.asarray(pt_cross_mask),
-        pt_cross_dest=jnp.asarray(pt_cross_dest),
-        pt_dest_a=jnp.asarray(pt_dest_a),
-        pt_dest_b=jnp.asarray(pt_dest_b),
-        pt_dest_mask=jnp.asarray(pt_dest_mask),
-        pt_slot_gather=jnp.asarray(pt_slot_gather),
-        pt_slot_pose=jnp.asarray(pt_slot_pose),
-        pt_slot_mask=jnp.asarray(pt_slot_mask),
-        pt_slot_land=jnp.asarray(pt_slot_land),
-        bb_factor_pair=jnp.asarray(bb_factor_pair),
-        ob_pair_pose=jnp.asarray(ob_pair_pose),
-        ob_pair_obj=jnp.asarray(ob_pair_obj),
-        ob_pair_mask=jnp.asarray(ob_pair_mask),
-        ob_cross_a=jnp.asarray(ob_cross_a),
-        ob_cross_b=jnp.asarray(ob_cross_b),
-        ob_cross_mask=jnp.asarray(ob_cross_mask),
-        ob_cross_dest=jnp.asarray(ob_cross_dest),
-        ob_dest_a=jnp.asarray(ob_dest_a),
-        ob_dest_b=jnp.asarray(ob_dest_b),
-        ob_dest_mask=jnp.asarray(ob_dest_mask),
-        ob_slot_gather=jnp.asarray(ob_slot_gather),
-        ob_slot_pose=jnp.asarray(ob_slot_pose),
-        ob_slot_mask=jnp.asarray(ob_slot_mask),
-        ob_slot_land=jnp.asarray(ob_slot_land),
+        rp_factor_pair=_t_asarray(rp_factor_pair),
+        pt_pair_pose=_t_asarray(pt_pair_pose),
+        pt_pair_point=_t_asarray(pt_pair_point),
+        pt_pair_mask=_t_asarray(pt_pair_mask),
+        pt_cross_a=_t_asarray(pt_cross_a),
+        pt_cross_b=_t_asarray(pt_cross_b),
+        pt_cross_mask=_t_asarray(pt_cross_mask),
+        pt_cross_dest=_t_asarray(pt_cross_dest),
+        pt_dest_a=_t_asarray(pt_dest_a),
+        pt_dest_b=_t_asarray(pt_dest_b),
+        pt_dest_mask=_t_asarray(pt_dest_mask),
+        pt_slot_gather=_t_asarray(pt_slot_gather),
+        pt_slot_pose=_t_asarray(pt_slot_pose),
+        pt_slot_mask=_t_asarray(pt_slot_mask),
+        pt_slot_land=_t_asarray(pt_slot_land),
+        bb_factor_pair=_t_asarray(bb_factor_pair),
+        ob_pair_pose=_t_asarray(ob_pair_pose),
+        ob_pair_obj=_t_asarray(ob_pair_obj),
+        ob_pair_mask=_t_asarray(ob_pair_mask),
+        ob_cross_a=_t_asarray(ob_cross_a),
+        ob_cross_b=_t_asarray(ob_cross_b),
+        ob_cross_mask=_t_asarray(ob_cross_mask),
+        ob_cross_dest=_t_asarray(ob_cross_dest),
+        ob_dest_a=_t_asarray(ob_dest_a),
+        ob_dest_b=_t_asarray(ob_dest_b),
+        ob_dest_mask=_t_asarray(ob_dest_mask),
+        ob_slot_gather=_t_asarray(ob_slot_gather),
+        ob_slot_pose=_t_asarray(ob_slot_pose),
+        ob_slot_mask=_t_asarray(ob_slot_mask),
+        ob_slot_land=_t_asarray(ob_slot_land),
     )
 
 

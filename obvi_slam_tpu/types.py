@@ -20,10 +20,41 @@ boundaries, be donated, and be sharded with jax.sharding.
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# Host-build mode: table/plan constructors normally commit arrays to device
+# (jnp.asarray). Inside ``host_build()`` they return numpy instead, so the
+# builder's output can be diff-synced to a device-resident session table
+# (solver/device_sync.py) — uploading only changed rows through the ~4 MB/s
+# TPU tunnel instead of re-uploading every table per window (the reference
+# rebuilds its Ceres problem per frame, offline_problem_runner.h:100-274;
+# our equivalent rebuild is host-side numpy + an incremental device sync).
+# ---------------------------------------------------------------------------
+
+_HOST_BUILD = threading.local()
+
+
+@contextlib.contextmanager
+def host_build():
+    prev = getattr(_HOST_BUILD, "on", False)
+    _HOST_BUILD.on = True
+    try:
+        yield
+    finally:
+        _HOST_BUILD.on = prev
+
+
+def asarray(x):
+    """jnp.asarray normally; numpy passthrough inside host_build()."""
+    if getattr(_HOST_BUILD, "on", False):
+        return np.asarray(x)
+    return jnp.asarray(x)
 
 # Parameter block sizes (vslam_obj_opt_types_refactor.h:15-36; default
 # CONSTRAIN_ELLIPSOID_ORIENTATION=ON build: yaw-only ellipsoid orientation).
@@ -201,12 +232,12 @@ def make_reprojection_factors(
     n = len(pose_idx)
     capacity = capacity or max(n, 1)
     return ReprojectionFactors(
-        pose_idx=jnp.asarray(_pad(pose_idx, capacity, np.int32)),
-        point_idx=jnp.asarray(_pad(point_idx, capacity, np.int32)),
-        cam_idx=jnp.asarray(_pad(cam_idx, capacity, np.int32)),
-        rect_obs=jnp.asarray(_pad(np.reshape(rect_obs, (n, 2)), capacity, dtype)),
-        multiplier=jnp.asarray(_pad(np.reshape(multiplier, (n, 2)), capacity, dtype)),
-        mask=jnp.asarray(_mask(n, capacity)),
+        pose_idx=asarray(_pad(pose_idx, capacity, np.int32)),
+        point_idx=asarray(_pad(point_idx, capacity, np.int32)),
+        cam_idx=asarray(_pad(cam_idx, capacity, np.int32)),
+        rect_obs=asarray(_pad(np.reshape(rect_obs, (n, 2)), capacity, dtype)),
+        multiplier=asarray(_pad(np.reshape(multiplier, (n, 2)), capacity, dtype)),
+        mask=asarray(_mask(n, capacity)),
     )
 
 
@@ -216,14 +247,14 @@ def make_bounding_box_factors(
     n = len(obj_idx)
     capacity = capacity or max(n, 1)
     return BoundingBoxFactors(
-        obj_idx=jnp.asarray(_pad(obj_idx, capacity, np.int32)),
-        pose_idx=jnp.asarray(_pad(pose_idx, capacity, np.int32)),
-        cam_idx=jnp.asarray(_pad(cam_idx, capacity, np.int32)),
-        rect_corners=jnp.asarray(
+        obj_idx=asarray(_pad(obj_idx, capacity, np.int32)),
+        pose_idx=asarray(_pad(pose_idx, capacity, np.int32)),
+        cam_idx=asarray(_pad(cam_idx, capacity, np.int32)),
+        rect_corners=asarray(
             _pad(np.reshape(rect_corners, (n, 4)), capacity, dtype)
         ),
-        sqrt_inf=jnp.asarray(_pad(np.reshape(sqrt_inf, (n, 4, 4)), capacity, dtype)),
-        mask=jnp.asarray(_mask(n, capacity)),
+        sqrt_inf=asarray(_pad(np.reshape(sqrt_inf, (n, 4, 4)), capacity, dtype)),
+        mask=asarray(_mask(n, capacity)),
     )
 
 
@@ -231,10 +262,10 @@ def make_shape_prior_factors(obj_idx, mean_dim, sqrt_inf, capacity=None, dtype=n
     n = len(obj_idx)
     capacity = capacity or max(n, 1)
     return ShapePriorFactors(
-        obj_idx=jnp.asarray(_pad(obj_idx, capacity, np.int32)),
-        mean_dim=jnp.asarray(_pad(np.reshape(mean_dim, (n, 3)), capacity, dtype)),
-        sqrt_inf=jnp.asarray(_pad(np.reshape(sqrt_inf, (n, 3, 3)), capacity, dtype)),
-        mask=jnp.asarray(_mask(n, capacity)),
+        obj_idx=asarray(_pad(obj_idx, capacity, np.int32)),
+        mean_dim=asarray(_pad(np.reshape(mean_dim, (n, 3)), capacity, dtype)),
+        sqrt_inf=asarray(_pad(np.reshape(sqrt_inf, (n, 3, 3)), capacity, dtype)),
+        mask=asarray(_mask(n, capacity)),
     )
 
 
@@ -244,12 +275,12 @@ def make_relative_pose_factors(
     n = len(before_idx)
     capacity = capacity or max(n, 1)
     return RelativePoseFactors(
-        before_idx=jnp.asarray(_pad(before_idx, capacity, np.int32)),
-        after_idx=jnp.asarray(_pad(after_idx, capacity, np.int32)),
-        meas_t=jnp.asarray(_pad(np.reshape(meas_t, (n, 3)), capacity, dtype)),
-        meas_r=jnp.asarray(_pad(np.reshape(meas_r, (n, 3, 3)), capacity, dtype)),
-        sqrt_inf=jnp.asarray(_pad(np.reshape(sqrt_inf, (n, 6, 6)), capacity, dtype)),
-        mask=jnp.asarray(_mask(n, capacity)),
+        before_idx=asarray(_pad(before_idx, capacity, np.int32)),
+        after_idx=asarray(_pad(after_idx, capacity, np.int32)),
+        meas_t=asarray(_pad(np.reshape(meas_t, (n, 3)), capacity, dtype)),
+        meas_r=asarray(_pad(np.reshape(meas_r, (n, 3, 3)), capacity, dtype)),
+        sqrt_inf=asarray(_pad(np.reshape(sqrt_inf, (n, 6, 6)), capacity, dtype)),
+        mask=asarray(_mask(n, capacity)),
     )
 
 
@@ -257,10 +288,10 @@ def make_ltm_prior_factors(obj_idx, mean, sqrt_inf, capacity=None, dtype=np.floa
     n = len(obj_idx)
     capacity = capacity or max(n, 1)
     return LtmPriorFactors(
-        obj_idx=jnp.asarray(_pad(obj_idx, capacity, np.int32)),
-        mean=jnp.asarray(_pad(np.reshape(mean, (n, 7)), capacity, dtype)),
-        sqrt_inf=jnp.asarray(_pad(np.reshape(sqrt_inf, (n, 7, 7)), capacity, dtype)),
-        mask=jnp.asarray(_mask(n, capacity)),
+        obj_idx=asarray(_pad(obj_idx, capacity, np.int32)),
+        mean=asarray(_pad(np.reshape(mean, (n, 7)), capacity, dtype)),
+        sqrt_inf=asarray(_pad(np.reshape(sqrt_inf, (n, 7, 7)), capacity, dtype)),
+        mask=asarray(_mask(n, capacity)),
     )
 
 
@@ -270,12 +301,12 @@ def make_param_prior_factors(
     n = len(block_kind)
     capacity = capacity or max(n, 1)
     return ParamPriorFactors(
-        block_kind=jnp.asarray(_pad(block_kind, capacity, np.int32)),
-        block_idx=jnp.asarray(_pad(block_idx, capacity, np.int32)),
-        param_idx=jnp.asarray(_pad(param_idx, capacity, np.int32)),
-        mean=jnp.asarray(_pad(mean, capacity, dtype)),
-        inv_std=jnp.asarray(_pad(inv_std, capacity, dtype)),
-        mask=jnp.asarray(_mask(n, capacity)),
+        block_kind=asarray(_pad(block_kind, capacity, np.int32)),
+        block_idx=asarray(_pad(block_idx, capacity, np.int32)),
+        param_idx=asarray(_pad(param_idx, capacity, np.int32)),
+        mean=asarray(_pad(mean, capacity, dtype)),
+        inv_std=asarray(_pad(inv_std, capacity, dtype)),
+        mask=asarray(_mask(n, capacity)),
     )
 
 
@@ -328,10 +359,10 @@ def make_camera_bundle(extrinsic_r, extrinsic_t, fx, fy, cx, cy, dtype=np.float6
     r_inv = np.swapaxes(extrinsic_r, -1, -2)
     t_inv = -np.einsum("...ij,...j->...i", r_inv, extrinsic_t)
     return CameraBundle(
-        cam_from_robot_r=jnp.asarray(r_inv),
-        cam_from_robot_t=jnp.asarray(t_inv),
-        fx=jnp.asarray(np.atleast_1d(fx).astype(dtype)),
-        fy=jnp.asarray(np.atleast_1d(fy).astype(dtype)),
-        cx=jnp.asarray(np.atleast_1d(cx).astype(dtype)),
-        cy=jnp.asarray(np.atleast_1d(cy).astype(dtype)),
+        cam_from_robot_r=asarray(r_inv),
+        cam_from_robot_t=asarray(t_inv),
+        fx=asarray(np.atleast_1d(fx).astype(dtype)),
+        fy=asarray(np.atleast_1d(fy).astype(dtype)),
+        cx=asarray(np.atleast_1d(cx).astype(dtype)),
+        cy=asarray(np.atleast_1d(cy).astype(dtype)),
     )

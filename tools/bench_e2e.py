@@ -124,6 +124,7 @@ def main(argv=None):
     ate = M.ate_for_synced_aligned(M.align_with_ground_truth(gt, est), gt)
 
     print(timing.TimerRegistry.instance().report())
+    sync_rep = runner.sync_report()
     print(
         f"\nbackend={jax.devices()[0].platform} dtype={np.dtype(dtype).name} "
         f"fused={args.fused_solver}"
@@ -132,6 +133,11 @@ def main(argv=None):
         f"e2e: {n} frames in {wall:.1f}s = {n / wall:.2f} frames/s | "
         f"ATE transl RMSE {ate.rmse_transl_err:.4f} m"
     )
+    for k, v in sync_rep.items():
+        print(
+            f"upload[{k}]: {v['total_bytes'] / 1e6:.2f} MB over "
+            f"{v['n_syncs']} solves = {v['bytes_per_sync'] / 1e3:.1f} KB/solve"
+        )
     if args.json_out:
         import json
 
@@ -145,6 +151,9 @@ def main(argv=None):
                     "ate_rmse_transl_m": float(ate.rmse_transl_err),
                     "backend": jax.devices()[0].platform,
                     "dtype": np.dtype(dtype).name,
+                    # Host->device traffic through the session DeviceSyncs
+                    # (the number the device-resident tables shrink).
+                    "upload": sync_rep,
                     # Per-phase wall-clock keyed by the reference's cumulative
                     # timer names (cumulative_timer_constants.h:11-107).
                     "phases": summary,
