@@ -20,9 +20,16 @@ Semantics mirror src/evaluation/trajectory_metrics_generator.cpp:
   pairs (trajectory_metrics_generator.cpp:159-193);
 - waypoint consistency: each session's pose is interpolated at its waypoint
   timestamps, deviations from the across-session mean are pooled per
-  waypoint (computeWaypointConsistencyResults equivalent; the reference's
-  odometry-based extrapolation for lost frames needs rosbags and is skipped
-  — lost frames simply contribute no waypoint pose);
+  waypoint (computeWaypointConsistencyResults equivalent). When
+  ``--odometry_files_directory`` provides a per-session timestamped odometry
+  CSV, waypoints in lost/out-of-range regions are recovered by chaining the
+  odometry delta from the nearest non-lost estimated pose — the reference's
+  ``interpolate3dPosesUsingOdom``
+  (trajectory_evaluation_utils.cpp:278-324,
+  trajectory_interpolation_utils.cpp:443-520) pulls the same odometry from
+  rosbags and solves a relpose chain whose solution outside the anchored
+  range IS the chained odometry delta; without odometry, lost frames
+  contribute no waypoint pose (pre-r4 behavior);
 - output: the reference metric-file schema (approach_metrics.py:574-615) via
   obvi_slam_tpu.metrics.schema.
 
@@ -139,6 +146,49 @@ def interpolate_pose_at(traj, t_query):
     return np.concatenate([t, r.as_rotvec()])
 
 
+def in_lost_region(traj, t_query):
+    """True when no non-lost pose exists within ~1.5x the trajectory's
+    median valid frame spacing of ``t_query`` — the waypoint then sits in a
+    lost gap (or beyond the valid range) and plain interpolation would
+    bridge it blindly."""
+    times = np.array([_ts_to_sec(ts) for ts, p in traj if p is not None])
+    if len(times) < 2:
+        return True
+    max_gap = 1.5 * float(np.median(np.diff(np.sort(times))))
+    return bool(np.min(np.abs(times - t_query)) > max_gap)
+
+
+def extrapolate_pose_with_odom(traj, odom, t_query):
+    """Waypoint pose in a lost/out-of-range region via odometry chaining:
+    est(t) = est(anchor) ∘ (odom(anchor)⁻¹ ∘ odom(t)) with anchor the
+    nearest-in-time non-lost estimated pose.
+
+    Matches the reference's interpolate3dPosesUsingOdom semantics
+    (trajectory_interpolation_utils.cpp:443-520) for required stamps outside
+    the anchored range: its relpose-chain solve holds coarse (non-lost)
+    poses fixed, so the optimum beyond the last anchor is exactly the
+    anchored odometry chain. Odometry is assumed to be base_link-frame
+    (trajectory_metrics_generator.cpp:124 "Assumes odom is for base_link").
+    Returns None when no anchor exists or either timestamp falls outside
+    the odometry's span."""
+    valid = [(_ts_to_sec(ts), p) for ts, p in traj if p is not None]
+    if not valid or len(odom) < 2:
+        return None
+    times = np.array([t for t, _ in valid])
+    t_anchor, p_anchor = valid[int(np.argmin(np.abs(times - t_query)))]
+    odom_traj = [(ts, p) for ts, p in odom]
+    o_anchor = interpolate_pose_at(odom_traj, t_anchor)
+    o_query = interpolate_pose_at(odom_traj, t_query)
+    if o_anchor is None or o_query is None:
+        return None
+    ra, ta = _rt(o_anchor)
+    rq, tq = _rt(o_query)
+    rel_t = ra.T @ (tq - ta)
+    rel_r = ra.T @ rq
+    re, te = _rt(p_anchor)
+    return _from_rt(re @ rel_r, re @ rel_t + te)
+
+
 # ---------------------------------------------------------------------------
 # Driver.
 # ---------------------------------------------------------------------------
@@ -191,6 +241,12 @@ def main(argv=None):
     parser.add_argument("--trajectory_results_dir_suffix", default="")
     parser.add_argument("--gt_dir_suffix", default="")
     parser.add_argument("--waypoints_files_directory", default="")
+    parser.add_argument(
+        "--odometry_files_directory", default="",
+        help="per-session timestamped odometry CSV (<dir_name>.csv or "
+        "<bag_base_name>.csv): enables waypoint extrapolation for "
+        "lost frames (interpolate3dPosesUsingOdom equivalent)",
+    )
     parser.add_argument("--metrics_out_file", required=True)
     parser.add_argument("--est_traj_file_name", default=EST_TRAJ_FILE)
     parser.add_argument("--gt_traj_file_name", default=GT_TRAJ_FILE)
@@ -300,6 +356,23 @@ def main(argv=None):
         for traj in gt_trajs
     ]
 
+    # Per-session odometry (optional; lost-frame waypoint extrapolation).
+    odom_trajs = []
+    for idx, name in enumerate(dir_names):
+        odom = []
+        if args.odometry_files_directory:
+            candidates = [name]
+            if args.sequence_file:
+                candidates.append(bags[idx][0])
+            for cand in candidates:
+                op = os.path.join(args.odometry_files_directory, cand)
+                if not os.path.exists(op) and not cand.endswith(".csv"):
+                    op += ".csv"
+                if os.path.exists(op):
+                    odom = T.read_poses_with_timestamps(op)
+                    break
+        odom_trajs.append(odom)
+
     # Waypoint poses per session (interpolated at waypoint timestamps).
     waypoint_poses = {}  # waypoint_id -> per-session pose lists
     for idx, (traj, wp_base) in enumerate(
@@ -316,7 +389,16 @@ def main(argv=None):
                 for ts, wp_id, _rev in T.read_timestamps_and_waypoints(
                     wp_path
                 ):
-                    pose = interpolate_pose_at(traj, _ts_to_sec(ts))
+                    t_q = _ts_to_sec(ts)
+                    pose = interpolate_pose_at(traj, t_q)
+                    if odom_trajs[idx] and (
+                        pose is None or in_lost_region(traj, t_q)
+                    ):
+                        ext = extrapolate_pose_with_odom(
+                            traj, odom_trajs[idx], t_q
+                        )
+                        if ext is not None:
+                            pose = ext
                     annotations.append((ts, wp_id, pose))
         for ts, wp_id, pose in annotations:
             waypoint_poses.setdefault(wp_id, [[] for _ in dir_names])
