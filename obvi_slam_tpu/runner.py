@@ -506,11 +506,11 @@ class OfflineProblemRunner:
                     )
                 )
                 excluded: Set[Tuple[int, int]] = set()
-                for ftype, key, rows, w in (
+                for ftype, res_key, rows, w in (
                     (REPROJECTION_FACTOR, "reproj", problem.reproj_rows, problem.base_weights_np["reproj"]),
                     (OBJECT_OBSERVATION_FACTOR, "bbox", problem.bbox_rows, problem.base_weights_np["bbox"]),
                 ):
-                    r = np.asarray(res[key])[: len(rows)]
+                    r = np.asarray(res[res_key])[: len(rows)]
                     sq = np.sum(r * r, axis=1)
                     live = np.nonzero(w > 0)[0]
                     n_out = int(len(live) * iteration_params.feature_outlier_percentage)

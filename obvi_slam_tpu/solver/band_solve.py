@@ -1,0 +1,176 @@
+"""Block-tridiagonal + low-rank (Woodbury) reduced-camera solve.
+
+At reference scale (~10^3 poses, UT campus global BA,
+``sequences/evaluation_2023_07_v1.json``) the dense reduced system is
+(6P)^2 ~ 150 MB and its O(P^3) Cholesky dominates the LM iteration — the
+cost Ceres avoids with SPARSE_SCHUR's sparse factorization
+(``object_pose_graph_optimizer.h:652-666``). The TPU-native answer exploits
+the SAME structure the banded gram already exposes (schur._band_layout):
+
+  - feature tracks span <= 2 consecutive 64-pose tiles, so the point Schur
+    subtraction couples only same/adjacent tiles -> block-TRIDIAGONAL at
+    384 (= 6*64) granularity;
+  - odometry/PGO relpose factors are consecutive-frame -> tridiagonal;
+  - object (bbox) couplings span arbitrary frames but have rank <= 7K
+    (K objects) -> a low-rank correction, S = B - Z^T Z.
+
+The solve is then a block-tridiagonal Cholesky (lax.scan over ~P/64 tiles,
+O(P b^2) instead of O(P^3)) plus a Woodbury correction:
+
+  S^-1 r = B^-1 r + Y C^-1 Z (B^-1 r),   Y = B^-1 Z^T,  C = I - Z Y
+  (C is PD whenever S and B are: it is the Schur complement of B in
+   [[B, Z^T], [Z, I]]).
+
+All tiles are (384, 384) in the banded path's native c-major-within-tile
+layout ((component, pose_local) flattening), so no S-sized buffer is ever
+materialized and no layout permute is needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+_P_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b, ta=False, tb=False):
+    return jnp.matmul(
+        a.T if ta else a,
+        b.T if tb else b,
+        precision=_P_HI,
+    )
+
+
+def block_tridiag_cholesky(d_tiles, e_tiles):
+    """Cholesky of a symmetric PD block-tridiagonal matrix.
+
+    ``d_tiles``: (nb, m, m) diagonal blocks (full symmetric tiles);
+    ``e_tiles``: (nb-1, m, m) sub-diagonal blocks, e_tiles[i] = B[i+1, i].
+    Returns (l_d, l_e): l_d[i] lower-triangular with
+    L[i, i] = l_d[i], L[i+1, i] = l_e[i].
+
+      A_0 = D_0;  A_{i+1} = D_{i+1} - L_{i+1,i} L_{i+1,i}^T
+      L_ii = chol(A_i);  L_{i+1,i} = E_i L_ii^{-T}
+    """
+    nb, m, _ = d_tiles.shape
+
+    def step(carry, inp):
+        contrib = carry  # L_{i,i-1} L_{i,i-1}^T (zero for i=0)
+        d_i, e_i = inp
+        a_i = d_i - contrib
+        l_ii = jax.lax.linalg.cholesky(a_i, symmetrize_input=False)
+        # L_{i+1,i} = E_i L_ii^{-T}  <=>  solve L_ii X^T = E_i^T.
+        l_next = solve_triangular(
+            l_ii, e_i.T, lower=True, trans=0
+        ).T
+        return _mm(l_next, l_next, tb=True), (l_ii, l_next)
+
+    # Pad e with a zero tile so the scan consumes aligned pairs; the last
+    # emitted l_e row is garbage-free (zero input -> zero output) and unused.
+    e_pad = jnp.concatenate(
+        [e_tiles, jnp.zeros((1, m, m), d_tiles.dtype)], axis=0
+    )
+    _, (l_d, l_e) = jax.lax.scan(
+        step, jnp.zeros((m, m), d_tiles.dtype), (d_tiles, e_pad)
+    )
+    return l_d, l_e[:-1]
+
+
+def block_tridiag_solve(l_d, l_e, rhs):
+    """Solve B x = rhs given the block-tridiagonal Cholesky factors.
+
+    ``rhs``: (nb, m, k). Forward then backward block substitution."""
+    nb, m, _ = l_d.shape
+    zero_off = jnp.zeros((1, m, m), l_d.dtype)
+    l_e_fwd = jnp.concatenate([zero_off, l_e], axis=0)  # L_{i,i-1}
+
+    def fwd(y_prev, inp):
+        l_ii, l_lo, r_i = inp
+        y_i = solve_triangular(
+            l_ii, r_i - _mm(l_lo, y_prev), lower=True
+        )
+        return y_i, y_i
+
+    k = rhs.shape[-1]
+    _, y = jax.lax.scan(
+        fwd, jnp.zeros((m, k), rhs.dtype), (l_d, l_e_fwd, rhs)
+    )
+
+    l_e_bwd = jnp.concatenate([l_e, zero_off], axis=0)  # L_{i+1,i}
+
+    def bwd(x_next, inp):
+        l_ii, l_lo, y_i = inp
+        x_i = solve_triangular(
+            l_ii, y_i - _mm(l_lo, x_next, ta=True), lower=True, trans=1
+        )
+        return x_i, x_i
+
+    _, x = jax.lax.scan(
+        bwd,
+        jnp.zeros((m, k), rhs.dtype),
+        (l_d, l_e_bwd, y),
+        reverse=True,
+    )
+    return x
+
+
+def block_tridiag_matvec(d_tiles, e_tiles, x):
+    """B @ x for block-tridiagonal B, x: (nb, m, k)."""
+    nb, m, _ = d_tiles.shape
+    out = jnp.matmul(d_tiles, x, precision=_P_HI)
+    lo = jnp.matmul(e_tiles, x[:-1], precision=_P_HI)  # block (i+1,i) x_i
+    hi = jnp.matmul(
+        jnp.swapaxes(e_tiles, -1, -2), x[1:], precision=_P_HI
+    )  # block (i,i+1) x_{i+1}
+    out = out.at[1:].add(lo).at[:-1].add(hi)
+    return out
+
+
+def woodbury_band_solve(d_tiles, e_tiles, z, rhs, n_refine=1):
+    """Solve (B - Z^T Z) x = rhs with B block-tridiagonal PD.
+
+    ``z``: (rz, nb*m) low-rank factor rows in the SAME flattened tile order
+    as rhs; ``rhs``: (nb*m,). Returns (x, finite_ok) where x is the solution
+    flattened back to (nb*m,). ``n_refine`` steps of iterative refinement
+    reuse the factorization (the f32 accuracy recovery the dense path gets
+    from its refinement step).
+    """
+    nb, m, _ = d_tiles.shape
+    rz = z.shape[0]
+    dtype = d_tiles.dtype
+
+    l_d, l_e = block_tridiag_cholesky(d_tiles, e_tiles)
+
+    def b_solve(v_flat_cols):
+        # v: (nb*m, k) -> (nb, m, k) -> solve -> back.
+        k = v_flat_cols.shape[-1]
+        v = v_flat_cols.reshape(nb, m, k)
+        return block_tridiag_solve(l_d, l_e, v).reshape(nb * m, k)
+
+    y = b_solve(z.T)  # (nb*m, rz) = B^-1 Z^T
+    c = jnp.eye(rz, dtype=dtype) - _mm(z, y)
+    l_c = jax.lax.linalg.cholesky(
+        0.5 * (c + c.T), symmetrize_input=False
+    )
+
+    def s_solve(r_flat):
+        x0 = b_solve(r_flat[:, None])[:, 0]
+        w = jnp.matmul(z, x0, precision=_P_HI)  # (rz,)
+        t = solve_triangular(l_c, w, lower=True)
+        t = solve_triangular(l_c, t, lower=True, trans=1)
+        return x0 + jnp.matmul(y, t, precision=_P_HI)
+
+    def s_matvec(x):
+        bx = block_tridiag_matvec(
+            d_tiles, e_tiles, x.reshape(nb, m, 1)
+        ).reshape(nb * m)
+        return bx - jnp.matmul(
+            z.T, jnp.matmul(z, x, precision=_P_HI), precision=_P_HI
+        )
+
+    x = s_solve(rhs)
+    for _ in range(n_refine):
+        x = x + s_solve(rhs - s_matvec(x))
+    return x

@@ -33,6 +33,7 @@ import numpy as np
 
 from obvi_slam_tpu import factors as fac
 from obvi_slam_tpu import geometry as geo
+from obvi_slam_tpu.solver import band_solve as band_solve_mod
 from obvi_slam_tpu.types import BAState, CameraBundle, FactorTables, FreeMasks
 from obvi_slam_tpu.types import asarray as _t_asarray
 
@@ -694,6 +695,22 @@ def _use_band_kernel(dtype) -> bool:
     return dtype == jnp.float32 and ops_mod.pallas_supported()
 
 
+# Block-tridiagonal + Woodbury reduced solve: "auto" engages it on banded
+# problems with >= OBVI_BAND_SOLVE_MIN_POSES poses (where the dense O(P^3)
+# Cholesky dominates); "on"/"off" force (structure permitting — see
+# band_solve_on in compute_step).
+_BAND_SOLVE = os.environ.get("OBVI_BAND_SOLVE", "auto")
+_BAND_SOLVE_MIN_POSES = int(os.environ.get("OBVI_BAND_SOLVE_MIN_POSES", "512"))
+
+
+def _use_band_solve(n_pose) -> bool:
+    if _BAND_SOLVE == "off":
+        return False
+    if _BAND_SOLVE == "on":
+        return True
+    return n_pose is not None and n_pose >= _BAND_SOLVE_MIN_POSES
+
+
 def _use_syrk(dtype) -> bool:
     """Gate for the fused triangular syrk Pallas kernel (ops/syrk_pallas):
     computes only the lower-triangle tiles with the bf16 split done in VMEM.
@@ -1240,7 +1257,7 @@ def compute_step(
 
     def _slot_gram(
         w_scaled_blocks, slot_gather, slot_pose, slot_mask, bw,
-        band_local=None, cp_order=False,
+        band_local=None, cp_order=False, emit_tiles=False, skip_gram=False,
     ):
         """Schur subtraction Σ_l U_l U_l^T entirely on the MXU.
 
@@ -1338,6 +1355,23 @@ def compute_step(
                     )  # (G, 768, 768) in (c, p) x (c, p) order
             if _profile_stop == "ptgram":
                 return sg
+            if emit_tiles:
+                # Band-solve mode (solver/band_solve.py): return the
+                # block-tridiagonal tiles directly instead of folding a
+                # dense (6P, 6P) S. Group g's gram covers poses
+                # [64g, 64g+128) -> quadrants land on tiles (g, g),
+                # (g+1, g), (g+1, g+1); consecutive groups overlap only on
+                # the shared diagonal tile (Q11[g] + Q00[g+1]); the pad
+                # tile of the last group (index G) is dropped, exactly as
+                # the dense fold's [:n_pose] slice does.
+                tp_ = _BAND_TP
+                sg6 = sg.reshape(n_group, 6, 2, tp_, 6, 2, tp_)
+                q00 = sg6[:, :, 0, :, :, 0, :]
+                q10 = sg6[:, :, 1, :, :, 0, :]
+                q11 = sg6[:, :, 1, :, :, 1, :]
+                d_tiles = q00.at[1:].add(q11[:-1])  # (G, 6, tp, 6, tp)
+                e_tiles = q10[:-1]  # (G-1, 6, tp, 6, tp): tile (g+1, g)
+                return (d_tiles, e_tiles), zg
             # The group grams come out in (component, pose)-major order.
             # KEEP that order: the whole reduced system runs c-major under
             # banding (a symmetric permutation — Cholesky/solves are
@@ -1401,6 +1435,11 @@ def compute_step(
                 precision=_P_HI,
                 preferred_element_type=dtype,
             ).reshape(L * bw, 6 * n_pose)  # (l*b, (c, p))
+            if skip_gram:
+                # Band-solve mode: the object coupling goes into the
+                # Woodbury low-rank term as zf itself; its (6P, 6P) gram is
+                # never needed.
+                return None, zf
             if split_gram:
                 s = _sym_gram_split(zf, (0,))
             else:
@@ -1480,6 +1519,22 @@ def compute_step(
     # and only the (P, 6) rhs/delta vectors are transposed at the solve
     # boundary (see the band-branch comment in _slot_gram).
     cp_order = pt_band and pt_slot_ok
+    # Block-tridiagonal + Woodbury reduced solve (solver/band_solve.py): at
+    # reference scale the dense (6P)^2 S and its O(P^3) Cholesky dominate;
+    # when the band layout is active the point/relpose couplings are
+    # block-tridiagonal at 64-pose tiles and the object coupling is rank
+    # <= 7K -> S = B - Z^T Z, solved in O(P b^2 + P b Rz). Requires: banded
+    # points (cp_order), banded relpose (every live relpose pair within one
+    # tile of its partner — rel_band_local_pose present), the object slot
+    # grid (Z), and a low-rank object term worth the Woodbury detour.
+    band_solve_on = (
+        cp_order
+        and ob_slot_ok
+        and _use_band_solve(n_pose)
+        and plan.rel_band_local_pose is not None
+        and plan.ob_slot_gather.shape[0] * 7 <= 3 * n_pose
+        and _profile_stop is None
+    )
 
     s_sub2 = None
     z_pt = z_ob = None
@@ -1506,6 +1561,7 @@ def compute_step(
                 plan.pt_slot_mask,
                 3,
                 band_local=plan.pt_band_local_pose if pt_band else None,
+                emit_tiles=band_solve_on,
             )
             if _profile_stop in ("ptz", "ptgram", "ptfold"):
                 # _slot_gram returned the raw intermediate for this stop.
@@ -1535,6 +1591,7 @@ def compute_step(
                 plan.ob_slot_mask,
                 7,
                 cp_order=cp_order,
+                skip_gram=band_solve_on,
             )
             if _profile_stop == "obgram":
                 return _profile_exit(
@@ -1595,15 +1652,54 @@ def compute_step(
                 axis=0,
             )
             ci = jnp.arange(6)
-            # c-major flat indices: (c, p) -> c * P + p.
-            rr_idx = ci[None, :, None] * n_pose + rows_blk[:, None, None]
-            cc_idx = ci[None, None, :] * n_pose + cols_blk[:, None, None]
-            s4 = (
-                (-(s_sub2 + s_sub_ob))
-                .at[rr_idx, cc_idx]
-                .add(vals)
-                .reshape(n_pose, 6, n_pose, 6)
-            )
+            if band_solve_on:
+                # Band-solve assembly: scatter the relpose + diagonal
+                # blocks straight onto the block-tridiagonal tiles (no
+                # (6P)^2 buffer). Lower/diagonal blocks only — each cross
+                # block's transpose twin is already in ``vals``, and the
+                # band factorization reads just the lower structure. Upper
+                # blocks (row tile < col tile) and padding are routed out
+                # of bounds and dropped. band_solve_on requires
+                # rel_band_local_pose, which guarantees every live relpose
+                # pair spans at most adjacent tiles. The solve itself runs
+                # after the reduced RHS below.
+                d_t5, e_t5 = s_sub2  # (G,6,tp,6,tp), (G-1,6,tp,6,tp)
+                d_t5, e_t5 = -d_t5, -e_t5  # S = (relpose+diag) - pt gram
+                nb_t = d_t5.shape[0]
+                tp_ = _BAND_TP
+                t_r = rows_blk // tp_
+                t_c = cols_blk // tp_
+                pl_r = rows_blk % tp_
+                pl_c = cols_blk % tp_
+                d_dest = jnp.where(t_r == t_c, t_r, nb_t)
+                e_dest = jnp.where(t_r == t_c + 1, t_c, nb_t)
+                ix = (
+                    lambda dest: (
+                        dest[:, None, None],
+                        ci[None, :, None],
+                        pl_r[:, None, None],
+                        ci[None, None, :],
+                        pl_c[:, None, None],
+                    )
+                )
+                d_t5 = d_t5.at[ix(d_dest)].add(vals, mode="drop")
+                e_t5 = e_t5.at[ix(e_dest)].add(vals, mode="drop")
+                m_t = 6 * tp_
+                band_tiles = (
+                    d_t5.reshape(nb_t, m_t, m_t),
+                    e_t5.reshape(nb_t - 1, m_t, m_t),
+                )
+                s4 = None
+            else:
+                # c-major flat indices: (c, p) -> c * P + p.
+                rr_idx = ci[None, :, None] * n_pose + rows_blk[:, None, None]
+                cc_idx = ci[None, None, :] * n_pose + cols_blk[:, None, None]
+                s4 = (
+                    (-(s_sub2 + s_sub_ob))
+                    .at[rr_idx, cc_idx]
+                    .add(vals)
+                    .reshape(n_pose, 6, n_pose, 6)
+                )
         else:
             diag_blocks = (
                 act[:, None, None] * (h_pp_d - h_pp_rel)
@@ -1780,54 +1876,96 @@ def compute_step(
                 pieces.append(z)
         return _profile_exit(*pieces)
 
-    # (Rows/cols of the folded s_sub2 for fixed or unconstrained poses are
-    # exactly zero — their Jacobian blocks were masked before W assembly —
-    # so folding it under the identity-diag masking above is safe.)
-    s_dense = s4.reshape(n_pose * 6, n_pose * 6)
-    if dense_schur:
-        # Sum of gram matrices: symmetric by construction (up to per-tile
-        # summation-order roundoff, which neither Cholesky — it reads one
-        # triangle — nor the refinement matvec is sensitive to). Skipping
-        # 0.5 (S + S^T) saves a full-S transpose pass.
-        s_sym = s_dense
+    if band_solve_on:
+        # Block-tridiagonal + Woodbury solve (solver/band_solve.py):
+        # rhs/Z permute into the tile-major (tile, component, pose_local)
+        # flattening the band tiles use; delta permutes back. Iterative
+        # refinement runs inside woodbury_band_solve (same role as the
+        # dense path's refinement step below).
+        d_tiles, e_tiles = band_tiles
+        nb_t = d_tiles.shape[0]
+        tp_ = _BAND_TP
+        m_t = 6 * tp_
+        rhs_band = (
+            b_s.T.reshape(6, nb_t, tp_).transpose(1, 0, 2).reshape(nb_t * m_t)
+        )
+        z_band = (
+            z_ob.reshape(-1, 6, nb_t, tp_)
+            .transpose(0, 2, 1, 3)
+            .reshape(z_ob.shape[0], nb_t * m_t)
+        )
+        delta_band = band_solve_mod.woodbury_band_solve(
+            d_tiles, e_tiles, z_band, rhs_band
+        )
+        # Non-finite (factorization failure before enough damping) -> zero
+        # step -> LM rejects and shrinks the radius, like the dense path.
+        delta_band = jnp.where(
+            jnp.all(jnp.isfinite(delta_band)), delta_band, 0.0
+        )
+        delta_p = (
+            delta_band.reshape(nb_t, 6, tp_)
+            .transpose(1, 0, 2)
+            .reshape(6, n_pose)
+            .T
+        )
     else:
-        s_sym = 0.5 * (s_dense + s_dense.T)
-    # symmetrize_input=False: jnp.linalg.cholesky inserts a (S + S^T)/2
-    # pass first; s_sym is already symmetric (explicitly on the pair path,
-    # up to summation-order roundoff on the gram path, which Cholesky —
-    # reading one triangle — is insensitive to).
-    chol = jax.lax.linalg.cholesky(s_sym, symmetrize_input=False)
-    # c-major S (banding): permute the rhs to match — a symmetric
-    # permutation of the system, so the factorization/solve are unchanged.
-    rhs = b_s.T.reshape(-1) if cp_order else b_s.reshape(-1)
-    delta_raw = jax.scipy.linalg.cho_solve((chol, True), rhs)
-    # One step of iterative refinement: reuses the factorization and costs a
-    # single matvec + triangular solves, but recovers most of the accuracy an
-    # f32 Cholesky loses on ill-conditioned windows (f64-CPU vs f32-TPU
-    # parity, PARITY.md known-gaps). Runs unconditionally — keeping it out of
-    # the cond avoids a pipeline sync around the whole solve; the cond below
-    # only selects the (rarely taken) LU fallback.
-    # Contract over dim 0 (S is symmetric by construction): dim-0
-    # contraction is MXU-native for the row-major S layout, avoiding a
-    # hidden full-matrix transpose a dim-1 contraction can trigger.
-    resid = rhs - jax.lax.dot_general(
-        s_sym,
-        delta_raw,
-        (((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=s_sym.dtype,
-    )
-    delta_ref = delta_raw + jax.scipy.linalg.cho_solve((chol, True), resid)
-    # If the Cholesky failed (indefinite S before enough damping), zero the
-    # step: model_cost_change becomes 0 and the LM loop rejects the step and
-    # shrinks the radius — exactly Ceres' linear-solver-failure handling
-    # (and cheaper than an LU-fallback branch, which costs a ~2 ms pipeline
-    # sync as a lax.cond even when never taken).
-    delta_flat = jnp.where(jnp.all(jnp.isfinite(delta_ref)), delta_ref, 0.0)
-    if cp_order:
-        delta_p = delta_flat.reshape(6, n_pose).T
-    else:
-        delta_p = delta_flat.reshape(n_pose, 6)
+        # (Rows/cols of the folded s_sub2 for fixed or unconstrained poses
+        # are exactly zero — their Jacobian blocks were masked before W
+        # assembly — so folding it under the identity-diag masking above is
+        # safe.)
+        s_dense = s4.reshape(n_pose * 6, n_pose * 6)
+        if dense_schur:
+            # Sum of gram matrices: symmetric by construction (up to
+            # per-tile summation-order roundoff, which neither Cholesky —
+            # it reads one triangle — nor the refinement matvec is
+            # sensitive to). Skipping 0.5 (S + S^T) saves a full-S
+            # transpose pass.
+            s_sym = s_dense
+        else:
+            s_sym = 0.5 * (s_dense + s_dense.T)
+        # symmetrize_input=False: jnp.linalg.cholesky inserts a (S + S^T)/2
+        # pass first; s_sym is already symmetric (explicitly on the pair
+        # path, up to summation-order roundoff on the gram path, which
+        # Cholesky — reading one triangle — is insensitive to).
+        chol = jax.lax.linalg.cholesky(s_sym, symmetrize_input=False)
+        # c-major S (banding): permute the rhs to match — a symmetric
+        # permutation of the system, so the factorization/solve are
+        # unchanged.
+        rhs = b_s.T.reshape(-1) if cp_order else b_s.reshape(-1)
+        delta_raw = jax.scipy.linalg.cho_solve((chol, True), rhs)
+        # One step of iterative refinement: reuses the factorization and
+        # costs a single matvec + triangular solves, but recovers most of
+        # the accuracy an f32 Cholesky loses on ill-conditioned windows
+        # (f64-CPU vs f32-TPU parity, PARITY.md known-gaps). Runs
+        # unconditionally — keeping it out of the cond avoids a pipeline
+        # sync around the whole solve; the cond below only selects the
+        # (rarely taken) LU fallback.
+        # Contract over dim 0 (S is symmetric by construction): dim-0
+        # contraction is MXU-native for the row-major S layout, avoiding a
+        # hidden full-matrix transpose a dim-1 contraction can trigger.
+        resid = rhs - jax.lax.dot_general(
+            s_sym,
+            delta_raw,
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=s_sym.dtype,
+        )
+        delta_ref = delta_raw + jax.scipy.linalg.cho_solve(
+            (chol, True), resid
+        )
+        # If the Cholesky failed (indefinite S before enough damping), zero
+        # the step: model_cost_change becomes 0 and the LM loop rejects the
+        # step and shrinks the radius — exactly Ceres'
+        # linear-solver-failure handling (and cheaper than an LU-fallback
+        # branch, which costs a ~2 ms pipeline sync as a lax.cond even when
+        # never taken).
+        delta_flat = jnp.where(
+            jnp.all(jnp.isfinite(delta_ref)), delta_ref, 0.0
+        )
+        if cp_order:
+            delta_p = delta_flat.reshape(6, n_pose).T
+        else:
+            delta_p = delta_flat.reshape(n_pose, 6)
 
     if _profile_stop == "chol":
         pieces = [delta_p, b_l, b_o, grad_max]

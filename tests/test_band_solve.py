@@ -1,0 +1,160 @@
+"""Block-tridiagonal + Woodbury reduced solve (solver/band_solve.py) vs
+dense references — the O(P b^2) replacement for the dense O(P^3) reduced
+Cholesky at reference problem scale (SPARSE_SCHUR answer,
+object_pose_graph_optimizer.h:652-666)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from obvi_slam_tpu.solver import band_solve as bs
+
+
+def _random_block_tridiag(nb, m, seed=0):
+    rng = np.random.default_rng(seed)
+    e = rng.normal(size=(nb - 1, m, m)) * 0.3
+    d = []
+    for i in range(nb):
+        q = rng.normal(size=(m, m))
+        d.append(q @ q.T + m * np.eye(m))  # diagonally dominant PD
+    d = np.stack(d)
+    dense = np.zeros((nb * m, nb * m))
+    for i in range(nb):
+        dense[i * m:(i + 1) * m, i * m:(i + 1) * m] = d[i]
+    for i in range(nb - 1):
+        dense[(i + 1) * m:(i + 2) * m, i * m:(i + 1) * m] = e[i]
+        dense[i * m:(i + 1) * m, (i + 1) * m:(i + 2) * m] = e[i].T
+    return d, e, dense
+
+
+class TestBlockTridiagCholesky:
+    def test_factor_matches_dense(self):
+        nb, m = 5, 8
+        d, e, dense = _random_block_tridiag(nb, m)
+        l_d, l_e = bs.block_tridiag_cholesky(jnp.asarray(d), jnp.asarray(e))
+        l_dense = np.linalg.cholesky(dense)
+        for i in range(nb):
+            np.testing.assert_allclose(
+                np.asarray(l_d[i]),
+                l_dense[i * m:(i + 1) * m, i * m:(i + 1) * m],
+                rtol=1e-9, atol=1e-9,
+            )
+        for i in range(nb - 1):
+            np.testing.assert_allclose(
+                np.asarray(l_e[i]),
+                l_dense[(i + 1) * m:(i + 2) * m, i * m:(i + 1) * m],
+                rtol=1e-9, atol=1e-9,
+            )
+
+    def test_solve_matches_dense(self):
+        nb, m, k = 6, 8, 3
+        d, e, dense = _random_block_tridiag(nb, m, seed=1)
+        rng = np.random.default_rng(2)
+        rhs = rng.normal(size=(nb, m, k))
+        l_d, l_e = bs.block_tridiag_cholesky(jnp.asarray(d), jnp.asarray(e))
+        x = np.asarray(bs.block_tridiag_solve(l_d, l_e, jnp.asarray(rhs)))
+        x_ref = np.linalg.solve(dense, rhs.transpose(1, 0, 2).reshape(nb * m, k)
+                                if False else rhs.reshape(nb * m, k))
+        np.testing.assert_allclose(
+            x.reshape(nb * m, k), x_ref, rtol=1e-8, atol=1e-8
+        )
+
+    def test_matvec_matches_dense(self):
+        nb, m = 4, 8
+        d, e, dense = _random_block_tridiag(nb, m, seed=3)
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(nb, m, 2))
+        out = np.asarray(
+            bs.block_tridiag_matvec(jnp.asarray(d), jnp.asarray(e), jnp.asarray(x))
+        )
+        ref = dense @ x.reshape(nb * m, 2)
+        np.testing.assert_allclose(out.reshape(nb * m, 2), ref, rtol=1e-10, atol=1e-10)
+
+
+class TestWoodburyBandSolve:
+    @pytest.mark.parametrize("rz", [1, 7, 40])
+    def test_matches_dense(self, rz):
+        nb, m = 5, 8
+        d, e, dense = _random_block_tridiag(nb, m, seed=5)
+        rng = np.random.default_rng(6)
+        z = rng.normal(size=(rz, nb * m)) * 0.2  # keep S = B - Z^T Z PD
+        s = dense - z.T @ z
+        assert np.linalg.eigvalsh(s).min() > 0
+        rhs = rng.normal(size=nb * m)
+        x = np.asarray(
+            bs.woodbury_band_solve(
+                jnp.asarray(d), jnp.asarray(e), jnp.asarray(z), jnp.asarray(rhs)
+            )
+        )
+        np.testing.assert_allclose(x, np.linalg.solve(s, rhs), rtol=1e-8, atol=1e-8)
+
+    def test_zero_rank_reduces_to_band(self):
+        nb, m = 4, 8
+        d, e, dense = _random_block_tridiag(nb, m, seed=7)
+        rng = np.random.default_rng(8)
+        rhs = rng.normal(size=nb * m)
+        z = np.zeros((1, nb * m))
+        x = np.asarray(
+            bs.woodbury_band_solve(
+                jnp.asarray(d), jnp.asarray(e), jnp.asarray(z), jnp.asarray(rhs)
+            )
+        )
+        np.testing.assert_allclose(x, np.linalg.solve(dense, rhs), rtol=1e-8, atol=1e-8)
+
+
+class TestBandSolveStepEquality:
+    """compute_step with the block-tridiag+Woodbury reduced solve vs the
+    dense Cholesky path on a banded synthetic problem."""
+
+    @pytest.mark.parametrize("dtype", [np.float64, np.float32])
+    def test_step_matches_dense(self, dtype, monkeypatch):
+        from obvi_slam_tpu.solver import schur as sm
+        from obvi_slam_tpu.synthetic import synthetic_problem
+
+        state, _, cams, tables, plan, free, weights, huber = (
+            synthetic_problem(
+                n_poses=256, n_points=768, n_objects=8, obs_per_point=6,
+                obs_per_object=8, dtype=dtype,
+            )
+        )
+        assert plan.pt_band_local_pose is not None
+        assert plan.rel_band_local_pose is not None
+        radius = jnp.asarray(1e4, dtype)
+
+        def step():
+            return sm.compute_step(
+                state, cams, tables, plan, free, weights, radius, huber,
+                dense_schur=True,
+            )
+
+        monkeypatch.setattr(sm, "_BAND_SOLVE", "on")
+        d_band, mcc_band, g_band = step()
+        monkeypatch.setattr(sm, "_BAND_SOLVE", "off")
+        d_ref, mcc_ref, g_ref = step()
+
+        # Different factorization -> different roundoff; the damped normal
+        # equations amplify it in f32 (same mechanism as the band-gram
+        # equality tolerance in test_band_gram).
+        tol = 1e-8 if dtype == np.float64 else 2e-3
+        for a, b in [
+            (d_band.poses, d_ref.poses),
+            (d_band.points, d_ref.points),
+            (d_band.objects, d_ref.objects),
+        ]:
+            rel = np.linalg.norm(np.asarray(a) - np.asarray(b)) / (
+                np.linalg.norm(np.asarray(b)) + 1e-30
+            )
+            assert rel < tol, rel
+        assert np.isclose(float(mcc_band), float(mcc_ref), rtol=tol)
+        assert np.isclose(float(g_band), float(g_ref), rtol=1e-6)
+
+    def test_auto_gate_threshold(self, monkeypatch):
+        from obvi_slam_tpu.solver import schur as sm
+
+        monkeypatch.setattr(sm, "_BAND_SOLVE", "auto")
+        assert not sm._use_band_solve(256)
+        assert sm._use_band_solve(512)
+        assert sm._use_band_solve(1024)
+        monkeypatch.setattr(sm, "_BAND_SOLVE", "off")
+        assert not sm._use_band_solve(4096)
