@@ -274,7 +274,7 @@ def speed_of_light(problem, measured_iter_s):
     return table
 
 
-def e2e_bench(timeout_s):
+def e2e_bench(timeout_s, extra_args=()):
     """TUM e2e tier in a subprocess (frames/s + reference-named phase table)."""
     out = Path(tempfile.mkdtemp()) / "e2e.json"
     try:
@@ -284,7 +284,8 @@ def e2e_bench(timeout_s):
                 str(Path(__file__).parent / "tools" / "bench_e2e.py"),
                 "--frames", "40",
                 "--json_out", str(out),
-            ],
+            ]
+            + list(extra_args),
             timeout=timeout_s,
             check=True,
             capture_output=True,
@@ -293,6 +294,58 @@ def e2e_bench(timeout_s):
             return json.load(f)
     except Exception as e:  # timeout, nonzero exit, missing fixture dir
         return {"error": type(e).__name__}
+
+
+def e2e_objects_bench(timeout_s):
+    """Full object-pipeline tier (bb frontend, pending mini-BA, joint BA,
+    two-phase, PGO, merge loop, LTM extraction) via the main CLI — the
+    reference workload (offline_object_visual_slam_main.cpp:659-1106)."""
+    out = Path(tempfile.mkdtemp()) / "e2e_objects.json"
+    try:
+        subprocess.run(
+            [
+                sys.executable,
+                str(Path(__file__).parent / "tools" / "bench_e2e_objects.py"),
+                "--frames", "30",
+                "--json_out", str(out),
+            ],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+        with open(out) as f:
+            return json.load(f)
+    except Exception as e:
+        return {"error": type(e).__name__}
+
+
+def scale_1024_bench(device):
+    """Reference-scale tier: 1,024-pose / 16k-point / 64-object global BA —
+    the UT-campus problem size (sequences/evaluation_2023_07_v1.json) where
+    the block-tridiag+Woodbury reduced solve (solver/band_solve.py) replaces
+    the dense O(P^3) Cholesky."""
+    from obvi_slam_tpu.solver import schur as schur_mod
+    from obvi_slam_tpu.synthetic import synthetic_problem
+
+    p = synthetic_problem(
+        n_poses=1024,
+        n_points=16384,
+        n_objects=64,
+        obs_per_point=6,
+        obs_per_object=12,
+        dtype=np.float32,
+    )
+    plan = p[4]
+    ips, _ = time_iters(device, p, n_iters=10)
+    return {
+        "iters_per_s": round(ips, 3),
+        "per_iter_ms": round(1e3 / ips, 3) if ips > 0 else None,
+        "n_poses": 1024,
+        "band_layout": plan.pt_band_local_pose is not None,
+        "band_solve": schur_mod._use_band_solve(1024)
+        and plan.pt_band_local_pose is not None
+        and plan.rel_band_local_pose is not None,
+    }
 
 
 def _tier(record, key, min_budget_s, fn, *args):
@@ -362,10 +415,23 @@ def main():
     elif prior_cpu_ips == prior_cpu_ips:
         record["cpu_ips"] = round(prior_cpu_ips, 3)
 
+    _tier(record, "scale_1024", 240, scale_1024_bench, target)
+
     if os.environ.get("OBVI_BENCH_NO_E2E"):
-        record["e2e"] = None
+        record["e2e"] = record["e2e_cpu"] = record["e2e_objects"] = None
     else:
         _tier(record, "e2e", 240, e2e_bench, min(1200.0, _remaining() - 30))
+        # CPU e2e baseline: same 40 frames, same code, host CPU — the
+        # in-artifact anchor for "frames/s vs the CPU baseline"
+        # (VERDICT r3 #2).
+        _tier(
+            record, "e2e_cpu", 240, e2e_bench,
+            min(900.0, _remaining() - 30), ("--platform", "cpu"),
+        )
+        _tier(
+            record, "e2e_objects", 300, e2e_objects_bench,
+            min(1500.0, _remaining() - 30),
+        )
 
     # Sidecar mirror (tier details + cpu baseline seed for the next run).
     try:

@@ -1495,17 +1495,6 @@ def compute_step(
             )  # (P, 6, P, 6)
         return s.reshape(n_pose * 6, n_pose * 6), z_bs
 
-    # One-hot size gate: for extreme landmark degree (C ~ P) the slot grid's
-    # one-hot exceeds the dense-U buffer it replaces — fall back to scatter.
-    _slot_budget = 48 * 1024 * 1024  # elements (192 MB f32)
-    pt_slot_ok = (
-        plan.pt_slot_gather.shape[0] * plan.pt_slot_gather.shape[1] * n_pose
-        <= _slot_budget
-    )
-    ob_slot_ok = (
-        plan.ob_slot_gather.shape[0] * plan.ob_slot_gather.shape[1] * n_pose
-        <= _slot_budget
-    )
     # Banded point gram applies when the plan carries the band layout AND
     # the runtime pose count fits the group coverage (the plan may have been
     # built for a smaller pose capacity).
@@ -1513,6 +1502,24 @@ def compute_step(
         plan.pt_band_local_pose is not None
         and n_pose
         <= _BAND_TP * (plan.pt_band_local_pose.shape[0] + 1)
+    )
+    # One-hot size gate: for extreme landmark degree (C ~ P) the slot grid's
+    # one-hot exceeds the dense-U buffer it replaces — fall back to scatter.
+    # Under banding the point one-hot spans only the 128-wide LOCAL pose
+    # window, not n_pose — sizing it with n_pose wrongly disabled the
+    # banded path (and with it the block-tridiag solve) at >=1024 poses,
+    # exactly the scale it exists for.
+    _slot_budget = 48 * 1024 * 1024  # elements (192 MB f32)
+    pt_onehot_width = 2 * _BAND_TP if pt_band else n_pose
+    pt_slot_ok = (
+        plan.pt_slot_gather.shape[0]
+        * plan.pt_slot_gather.shape[1]
+        * pt_onehot_width
+        <= _slot_budget
+    )
+    ob_slot_ok = (
+        plan.ob_slot_gather.shape[0] * plan.ob_slot_gather.shape[1] * n_pose
+        <= _slot_budget
     )
     # Under banding the whole reduced camera system is assembled and solved
     # in (component, pose)-major order — the band grams' native layout —

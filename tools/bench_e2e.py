@@ -26,6 +26,10 @@ def main(argv=None):
     parser.add_argument("--f64", action="store_true")
     parser.add_argument("--fused_solver", choices=("auto", "on", "off"), default="auto")
     parser.add_argument(
+        "--no_sync", action="store_true",
+        help="disable the device-resident session tables (A/B isolation)",
+    )
+    parser.add_argument(
         "--json_out", default="", help="also write results as JSON to this path"
     )
     args = parser.parse_args(argv)
@@ -103,6 +107,7 @@ def main(argv=None):
         config,
         dtype=dtype,
         use_fused_solver={"auto": None, "on": True, "off": False}[args.fused_solver],
+        use_device_sync=False if args.no_sync else None,
     )
     pg = PoseGraph(data.cameras)
     vf = VisualFeatureFrontend(

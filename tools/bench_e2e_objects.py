@@ -1,0 +1,159 @@
+"""Object-pipeline end-to-end bench: the FULL ObVi-SLAM workload — visual
+frontend, bounding-box frontend (associate->init->merge + pending mini-BA),
+joint BA with objects, two-phase outlier rejection, PGO-plus-ellipsoids on
+global-BA frames, post-session merge loop, LTM extraction — via the main CLI
+(cli/offline_object_visual_slam_main.py), i.e. the reference workload of
+``offline_object_visual_slam_main.cpp:659-1106``.
+
+Scene: synthetic object session (tests/test_bb_frontend.make_object_session —
+chairs + surface/background features + projected-ellipsoid bounding boxes).
+Reports frames/s, ATE, object count, and the per-phase table keyed by the
+reference's cumulative-timer names (incl. ``ltm_extraction``).
+
+Usage: python tools/bench_e2e_objects.py [--frames 30] [--platform cpu]
+"""
+
+import argparse
+import csv
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+
+def write_config(path, pgo=True):
+    """Reference config JSON shrunk for the synthetic session, with the
+    PGO-on-global-BA path ENABLED (the full reference pipeline shape)."""
+    with open("/root/reference/config/base7a_1_fallback_a_2.json") as f:
+        raw = json.load(f)
+    c = raw["config"]
+    c["sliding_window_params"] = {
+        "global_ba_frequency": "7", "local_ba_window_size": "8"
+    }
+    en = c["optimization_factors_enabled_params"]
+    en["use_pose_graph_on_global_ba"] = 1 if pgo else 0
+    en["use_pose_graph_on_final_global_ba"] = 1 if pgo else 0
+    en["use_visual_features_on_global_ba"] = 1
+    en["use_visual_features_on_final_global_ba"] = 1
+    en["min_low_level_feature_observations_per_frame"] = 10
+    en["min_low_level_feature_observations"] = 3
+    en["min_object_observations"] = 3
+    fe = c["bounding_box_front_end_params"]["feature_based_bb_association_params"]
+    fe["min_observations"] = 5
+    fe["min_observations_for_local_est"] = 3
+    fe["min_overlapping_features_for_match"] = 3.0
+    fe["pending_obj_estimator_params"]["solver_params"]["max_num_iterations"] = 30
+    for key in (
+        "local_ba_iteration_params",
+        "global_ba_iteration_params",
+        "final_ba_iteration_params",
+    ):
+        c[key]["phase_one_opt_params"]["max_num_iterations"] = 25
+        c[key]["phase_two_opt_params"]["max_num_iterations"] = 30
+    with open(path, "w") as f:
+        json.dump(raw, f)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--frames", type=int, default=30)
+    parser.add_argument("--platform", default="")
+    parser.add_argument("--json_out", default="")
+    parser.add_argument("--work_dir", default="")
+    args = parser.parse_args(argv)
+
+    import tempfile
+
+    import numpy as np
+
+    from test_bb_frontend import make_object_session
+    from test_cli import export_session
+
+    out = pathlib.Path(args.work_dir or tempfile.mkdtemp(prefix="e2e_obj_"))
+    out.mkdir(parents=True, exist_ok=True)
+    data, gt_poses, gt_objects = make_object_session(
+        n_frames=args.frames, seed=33
+    )
+    export_session(data, gt_poses, out)
+    write_config(out / "config.json")
+    res = out / "results"
+
+    cli_args = [
+        sys.executable,
+        str(REPO / "cli" / "offline_object_visual_slam_main.py"),
+        "--params_config_file", str(out / "config.json"),
+        "--intrinsics_file", str(out / "intrinsics.csv"),
+        "--extrinsics_file", str(out / "extrinsics.csv"),
+        "--poses_by_node_id_file", str(out / "poses.csv"),
+        "--bounding_boxes_by_node_id_file", str(out / "bounding_boxes.csv"),
+        "--low_level_feats_dir", str(out / "orb_out"),
+        "--long_term_map_output", str(res / "ltm.json"),
+        "--robot_poses_results_file", str(res / "robot_poses.csv"),
+        "--ellipsoids_results_file", str(res / "ellipsoids.csv"),
+        "--visual_feature_results_file", str(res / "features.csv"),
+        "--timing_report_file", str(res / "timing.json"),
+        "--logs_directory", str(res / "logs"),
+    ]
+    if args.platform:
+        cli_args += ["--platform", args.platform]
+    t0 = time.perf_counter()
+    proc = subprocess.run(cli_args, capture_output=True, text=True)
+    wall = time.perf_counter() - t0
+    if proc.returncode != 0:
+        print(proc.stdout[-2000:], file=sys.stderr)
+        print(proc.stderr[-4000:], file=sys.stderr)
+        raise SystemExit(proc.returncode)
+
+    # ATE vs ground truth (translation RMSE after node-id sync).
+    est = {}
+    with open(res / "robot_poses.csv") as f:
+        for row in csv.DictReader(f):
+            est[int(row["node_id"])] = np.array(
+                [float(row["transl_x"]), float(row["transl_y"]),
+                 float(row["transl_z"])]
+            )
+    errs = [
+        np.sum((est[i] - gt_poses[i][:3]) ** 2)
+        for i in range(len(gt_poses))
+        if i in est
+    ]
+    ate = float(np.sqrt(np.mean(errs))) if errs else float("nan")
+    with open(res / "ltm.json") as f:
+        n_ltm = len(json.load(f)["ellipsoids"])
+    with open(res / "timing.json") as f:
+        phases = json.load(f)
+
+    record = {
+        "frames": args.frames,
+        "wall_s": wall,
+        "frames_per_s": args.frames / wall,
+        "ate_rmse_transl_m": ate,
+        "n_ltm_objects": n_ltm,
+        "n_gt_objects": len(gt_objects),
+        "phases": phases,
+    }
+    keyphases = {
+        k: phases[k]
+        for k in (
+            "ltm_extraction",
+            "obj_only_pgo_full_process",
+            "global_bundle_adjustment",
+            "local_bundle_adjustment",
+        )
+        if k in phases
+    }
+    print(json.dumps({k: v for k, v in record.items() if k != "phases"}))
+    print("phases:", json.dumps(keyphases))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(record, f)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
