@@ -44,15 +44,7 @@ def run_tracking_solve(runner, data, pg, next_frame_id):
     min_frame = max(0, next_frame_id - en.poses_prior_to_window_to_keep_constant)
     scope = runner._scope(min_frame, next_frame_id)
     with timer("obj_only_pgo_local_track_build"):
-        pool = runner.caps_pool("pgo_tracking")
-        problem = build_problem(
-            pg,
-            scope,
-            runner.config.object_visual_pose_graph_residual_params,
-            dtype=runner.dtype,
-            caps=pool,
-        )
-        update_caps_pool(pool, problem)
+        problem = runner.build_problem_synced(pg, scope, "pgo_tracking")
     with timer("obj_only_pgo_local_track_solve"):
         state, summary = runner.solve(
             problem,
@@ -60,7 +52,7 @@ def run_tracking_solve(runner, data, pg, next_frame_id):
                 runner.config.pgo_solver_params.pre_pgo_tracking_solver_params
             ),
         )
-    write_back(pg, problem, state)
+    runner.write_back_synced("pgo_tracking", pg, problem, state)
     from obvi_slam_tpu import optlog
 
     optlog.IterationLoggerFactory.instance().log_iterations(
@@ -112,19 +104,16 @@ def run_pgo_plus_ellipsoids(runner, data, pg, max_frame_id, final_run, attempt_n
             include_visual_factors=False,
             poses_prior_to_window_to_keep_constant=1,
         )
-        pool = runner.caps_pool("pgo")
-        problem = build_problem(
+        problem = runner.build_problem_synced(
             pg,
             scope,
-            runner.config.object_visual_pose_graph_residual_params,
-            dtype=runner.dtype,
+            "pgo",
             synthesized_relpose=synthesized,
             relpose_huber_override=pgo_params.relative_pose_factor_huber_loss,
-            caps=pool,
         )
-        update_caps_pool(pool, problem)
         # PGO runs only on global-BA frames: shard on the runner's mesh.
-        problem = runner._maybe_shard(problem, True)
+        if not runner._sync_enabled():
+            problem = runner._maybe_shard(problem, True)
 
     with timer("obj_only_pgo_solve_pgo"):
         solver_params = (
@@ -135,7 +124,7 @@ def run_pgo_plus_ellipsoids(runner, data, pg, max_frame_id, final_run, attempt_n
         state, summary = runner.solve(
             problem, lm_params_from_config(solver_params)
         )
-    write_back(pg, problem, state)
+    runner.write_back_synced("pgo", pg, problem, state)
     from obvi_slam_tpu import optlog
 
     optlog.IterationLoggerFactory.instance().log_iterations(
@@ -162,16 +151,11 @@ def run_pgo_plus_ellipsoids(runner, data, pg, max_frame_id, final_run, attempt_n
             include_object_factors=False,
         )
         with timer("obj_only_pgo_opt_feat_adjust_build"):
-            vf_pool = runner.caps_pool("pgo_vf")
-            vf_problem = build_problem(
-                pg,
-                vf_scope,
-                runner.config.object_visual_pose_graph_residual_params,
-                dtype=runner.dtype,
-                caps=vf_pool,
+            vf_problem = runner.build_problem_synced(
+                pg, vf_scope, "pgo_vf", use_registry=True
             )
-            update_caps_pool(vf_pool, vf_problem)
-            vf_problem = runner._maybe_shard(vf_problem, True)
+            if not runner._sync_enabled():
+                vf_problem = runner._maybe_shard(vf_problem, True)
         with timer("obj_only_pgo_opt_feat_adjust_solve"):
             vf_params = (
                 pgo_params.final_post_pgo_vf_adjustment_solver_params
@@ -187,5 +171,5 @@ def run_pgo_plus_ellipsoids(runner, data, pg, max_frame_id, final_run, attempt_n
                 vf_summary,
                 runner._num_free_params(vf_problem),
             )
-        write_back(pg, vf_problem, vf_state)
+        runner.write_back_synced("pgo_vf", pg, vf_problem, vf_state)
     return True

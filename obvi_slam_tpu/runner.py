@@ -230,17 +230,22 @@ class OfflineProblemRunner:
         }
 
     def build_problem_synced(
-        self, pg, scope, key: str, residual_params=None, **build_kw
+        self, pg, scope, key: str, residual_params=None, use_registry=None,
+        **build_kw,
     ):
         """build_problem + caps-pool update + device sync (or mesh shard).
 
         The single entry point pipeline code should use: returns a Problem
         whose arrays live in the session's device-resident buffers when
-        sync is enabled."""
+        sync is enabled. ``use_registry``: pin landmark rows to
+        first-appearance order (append-only tables) — default for the
+        whole-session pools; never for sliding windows."""
         pool = self.caps_pool(key)
         use_sync = self._sync_enabled()
         registry = None
-        if use_sync and key == "global":
+        if use_registry is None:
+            use_registry = key == "global"
+        if use_sync and use_registry:
             registry = self._row_registries.setdefault(key, {})
         problem = build_problem(
             pg,
@@ -258,6 +263,18 @@ class OfflineProblemRunner:
         if use_sync:
             problem = self._sync_problem(key, problem)
         return problem
+
+    def write_back_synced(self, key: str, pg, problem, state):
+        """write_back + adopt the solved state into the session DeviceSync
+        (next build's diff then sees only externally changed rows)."""
+        fetched = write_back(pg, problem, state)
+        if self._sync_enabled():
+            from obvi_slam_tpu import types as T
+
+            self.device_sync_for(key).adopt(
+                key + "[0]", state, T.BAState(*fetched)
+            )
+        return fetched
 
     def _sync_problem(self, key: str, problem):
         from dataclasses import replace
@@ -549,16 +566,7 @@ class OfflineProblemRunner:
                     )
                 self._log_solve(problem, summary, next_frame_id, global_ba, 2, attempt_num)
 
-            fetched = write_back(pg, problem, state)
-            if self._sync_enabled():
-                # Adopt the solved state: next build's diff then uploads only
-                # externally changed rows (new frames/landmarks), not every
-                # row the solver moved.
-                from obvi_slam_tpu import types as T
-
-                self.device_sync_for(key).adopt(
-                    key + "[0]", state, T.BAState(*fetched)
-                )
+            self.write_back_synced(key, pg, problem, state)
 
             # Jump detection -> full revert (offline_problem_runner.h:895-905).
             if iteration_params.allow_reversion_after_detecting_jumps:

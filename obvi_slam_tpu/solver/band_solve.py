@@ -149,18 +149,26 @@ def woodbury_band_solve(d_tiles, e_tiles, z, rhs, n_refine=1):
         v = v_flat_cols.reshape(nb, m, k)
         return block_tridiag_solve(l_d, l_e, v).reshape(nb * m, k)
 
-    y = b_solve(z.T)  # (nb*m, rz) = B^-1 Z^T
+    # ONE band traversal for rhs + Z together: the scans are sequential over
+    # tiles (latency-bound on TPU), so extra right-hand sides ride along for
+    # almost free while a separate traversal costs a full chain of
+    # dispatch-dependent steps.
+    y_all = b_solve(jnp.concatenate([rhs[:, None], z.T], axis=1))
+    x0_first = y_all[:, 0]
+    y = y_all[:, 1:]  # (nb*m, rz) = B^-1 Z^T
     c = jnp.eye(rz, dtype=dtype) - _mm(z, y)
     l_c = jax.lax.linalg.cholesky(
         0.5 * (c + c.T), symmetrize_input=False
     )
 
-    def s_solve(r_flat):
-        x0 = b_solve(r_flat[:, None])[:, 0]
+    def s_correct(x0):
         w = jnp.matmul(z, x0, precision=_P_HI)  # (rz,)
         t = solve_triangular(l_c, w, lower=True)
         t = solve_triangular(l_c, t, lower=True, trans=1)
         return x0 + jnp.matmul(y, t, precision=_P_HI)
+
+    def s_solve(r_flat):
+        return s_correct(b_solve(r_flat[:, None])[:, 0])
 
     def s_matvec(x):
         bx = block_tridiag_matvec(
@@ -170,7 +178,7 @@ def woodbury_band_solve(d_tiles, e_tiles, z, rhs, n_refine=1):
             z.T, jnp.matmul(z, x, precision=_P_HI), precision=_P_HI
         )
 
-    x = s_solve(rhs)
+    x = s_correct(x0_first)
     for _ in range(n_refine):
         x = x + s_solve(rhs - s_matvec(x))
     return x

@@ -1,0 +1,155 @@
+"""Sharded-HLO collective audit + scaling model for multi-chip global BA.
+
+Compiles the factor-sharded banded global-BA step on an N-device CPU mesh
+(xla_force_host_platform_device_count), extracts every collective op and its
+shape from the optimized HLO, and derives the per-iteration communication
+volume vs per-device compute — the evidence behind the >=70% scaling-
+efficiency target (BASELINE.md / SURVEY §2.11), which previously rested on
+nothing (VERDICT r3 weak #5).
+
+Model: factor-axis data parallelism reduces per-device FLOPs ~1/N while the
+replicated H_ll/H_oo/b and reduced-system contributions are combined with
+all-reduce; ring all-reduce moves 2(N-1)/N x payload per device. Projected
+efficiency at device count N:
+
+    eff(N) = t_comp(1) / N / (t_comp(1)/N + t_comm(N))
+    t_comm(N) = 2(N-1)/N * ar_bytes / link_bw
+
+with link_bw the per-device interconnect bandwidth (v5e ICI ~4.5e10 B/s
+per direction assumed; DCN ~2.5e9 B/s per host for the 2-host row —
+assumptions are printed, not hidden).
+
+Usage:
+    python tools/sharding_audit.py [--poses 256 1024] [--devices 8]
+        [--json_out PATH]
+"""
+
+import argparse
+import json
+import os
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--poses", type=int, nargs="+", default=[256, 1024])
+    parser.add_argument("--devices", type=int, default=8)
+    parser.add_argument("--json_out", default="")
+    args = parser.parse_args(argv)
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    xf = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xf:
+        os.environ["XLA_FLAGS"] = (
+            xf + f" --xla_force_host_platform_device_count={args.devices}"
+        ).strip()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from obvi_slam_tpu import flops as flops_mod
+    from obvi_slam_tpu import parallel as par
+    from obvi_slam_tpu.synthetic import synthetic_problem
+
+    mesh = par.make_mesh()
+    n_dev = mesh.devices.size
+    out = {"devices": n_dev, "tiers": []}
+
+    for n_pose in args.poses:
+        n_points = n_pose * 16
+        n_obj = max(n_pose // 16, 8)
+        p = synthetic_problem(
+            n_poses=n_pose, n_points=n_points, n_objects=n_obj,
+            obs_per_point=6, obs_per_object=12, dtype=np.float32,
+        )
+        state, _, cams, tables, plan, free, weights, huber = p
+        tables = par.shard_tables(tables, mesh)
+        weights = par.shard_weights(weights, mesh)
+        plan_s = par.shard_plan(plan, mesh)
+        state = par.replicate(state, mesh)
+        cams = par.replicate(cams, mesh)
+        free = par.replicate(free, mesh)
+        radius = jnp.asarray(1e4, jnp.float32)
+
+        step = par.sharded_compute_step(mesh)
+        lowered = step.lower(
+            state, cams, tables, plan_s, free, weights, radius, huber
+        )
+        compiled = lowered.compile()
+        hlo = compiled.as_text()
+
+        coll_re = re.compile(
+            r"(f32|bf16|s32|pred|u32|f64)\[([0-9,]*)\][^=]*\s"
+            r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
+            r"all-to-all)\(",
+        )
+        dsize = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "f64": 8}
+        by_op = {}
+        ar_bytes = 0
+        for m in coll_re.finditer(hlo):
+            dt, dims, op = m.group(1), m.group(2), m.group(3)
+            shape = [int(x) for x in dims.split(",") if x] or [1]
+            nbytes = int(np.prod(shape)) * dsize[dt]
+            rec = by_op.setdefault(op, {"count": 0, "bytes": 0, "shapes": []})
+            rec["count"] += 1
+            rec["bytes"] += nbytes
+            if len(rec["shapes"]) < 12:
+                rec["shapes"].append(f"{dt}[{dims}]")
+            if op in ("all-reduce", "reduce-scatter"):
+                ar_bytes += nbytes
+
+        phases = flops_mod.lm_iteration_flops(
+            p[3], plan, n_pose, n_points, n_obj,
+            gram_precision="HIGHEST", split_gram=True,
+        )
+        total_flops = sum(
+            v["flops_bf16_equiv"]
+            for v in phases.values()
+            if isinstance(v, dict) and "flops_bf16_equiv" in v
+        )
+
+        def eff(n, link_bw):
+            t1 = total_flops / 2e14  # v5e ~200 Tf/s bf16-effective
+            t_comm = 2 * (n - 1) / n * ar_bytes / link_bw
+            return t1 / n / (t1 / n + t_comm)
+
+        tier = {
+            "n_pose": n_pose,
+            "n_points": n_points,
+            "n_objects": n_obj,
+            "collectives": by_op,
+            "all_reduce_bytes_per_iter": ar_bytes,
+            "iter_flops": total_flops,
+            "flops_per_device": total_flops / n_dev,
+            "projected_eff": {
+                "ici_8dev": round(eff(8, 4.5e10), 3),
+                "ici_2dev": round(eff(2, 4.5e10), 3),
+                "dcn_2host": round(eff(2, 2.5e9), 3),
+            },
+            "assumptions": {
+                "peak_flops_per_s": 2e14,
+                "ici_bw_bytes_per_s": 4.5e10,
+                "dcn_bw_bytes_per_s": 2.5e9,
+                "all_reduce_model": "ring 2(N-1)/N",
+            },
+        }
+        out["tiers"].append(tier)
+        print(json.dumps({k: v for k, v in tier.items() if k != "collectives"}))
+        for op, rec in by_op.items():
+            print(f"  {op}: n={rec['count']} bytes={rec['bytes']/1e6:.2f}MB "
+                  f"e.g. {rec['shapes'][:4]}")
+
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(out, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
