@@ -139,7 +139,8 @@ def sharded_compute_step(mesh):
     @jax.jit
     def step(state, cams, tables, plan, free, weights, radius, huber):
         delta, model_change, grad_max = schur_mod.compute_step(
-            state, cams, tables, plan, free, weights, radius, huber
+            state, cams, tables, plan, free, weights, radius, huber,
+            shard_mesh=mesh,
         )
         constrain = lambda x: jax.lax.with_sharding_constraint(x, out_sharding)
         return (

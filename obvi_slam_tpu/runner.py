@@ -321,6 +321,11 @@ class OfflineProblemRunner:
             params=params,
             huber=problem.huber,
         )
+        if self.mesh is not None:
+            # Landmark-axis gram sharding (schur._shard_rows): without it
+            # the factor sharding dies at the H/b all-reduce and the grams
+            # run replicated on every device.
+            kwargs["shard_mesh"] = self.mesh
         if use_fused:
             from obvi_slam_tpu import optlog
             from obvi_slam_tpu.solver import lm_fused

@@ -9,21 +9,21 @@ dominated end-to-end time (r3: global-BA build phase 0.92 s mean on a
 ``DeviceSync`` keeps one device-resident copy of each named array tree for
 the whole session. Each solve, the host builder (``build_problem(...,
 to_device=False)``) produces numpy arrays; ``sync`` diffs them row-wise
-against the last synced host copy and uploads ONLY the changed rows — one
-jitted scatter dispatch for the entire tree. Because global-BA factor tables
-are append-only per frame (and ``row_registry`` pins features/objects to
-first-appearance rows), steady-state uploads are ~the new frame's rows
-(~100 KB) instead of the whole problem (MBs).
+against the last synced host copy and uploads ONLY the changed rows — and
+packs every leaf's indices/values into a few flat per-dtype buffers, so one
+sync is ONE jitted dispatch with a HANDFUL of host->device transfers (the
+first design passed ~2 small arrays per leaf and the tunnel's per-transfer
+latency made a 40 KB sync cost ~0.8 s).
 
 Correctness is unconditional: device content always equals the host arrays
 after sync, whatever changed (capacity growth, merges, weight swaps all
 degrade to bigger uploads, never wrong values).
 
 Jit-signature stability: every same-shape leaf goes through the delta path
-(changed rows bucketed to a per-leaf monotone power-of-two); a leaf is
-fully re-transferred only when its shape/dtype changes (capacity growth),
-which changes the jit signature anyway. Signatures therefore change O(log)
-times per session, like the capacity pools.
+(changed rows bucketed to a per-leaf monotone power-of-four); a leaf is
+fully re-transferred only when its shape/dtype changes (capacity growth).
+The applier is cached per packing layout, which changes O(log) times per
+session, like the capacity pools.
 """
 
 from __future__ import annotations
@@ -37,13 +37,45 @@ import numpy as np
 from jax.tree_util import keystr, tree_flatten_with_path, tree_unflatten
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _apply_updates(delta_devs: list, idxs: list, vals: list, fulls: list):
-    """One dispatch: scatter changed rows into the donated device buffers and
-    transfer the full replacements. Padding rows in ``idxs`` point at row 0
-    with row 0's (current) value — an idempotent write."""
-    updated = [d.at[i].set(v) for d, i, v in zip(delta_devs, idxs, vals)]
-    return updated, [jnp.asarray(f) for f in fulls]
+@functools.lru_cache(maxsize=256)
+def _applier(meta: tuple, dtype_order: tuple):
+    """Jitted update applier for one packing layout.
+
+    ``meta``: per-leaf tuples, in output order:
+        ("reuse",)
+        ("delta", dtype_idx, idx_off, bucket, val_off, row_elems, shape)
+        ("full", dtype_idx, val_off, size, shape)
+    ``dtype_order``: the value-buffer dtypes, e.g. ("float32", "int32",
+    "bool"). The applier takes (delta_devs, idx_buf, val_bufs) and returns
+    the new device leaves (delta leaves donated)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def apply(delta_devs: list, idx_buf, val_bufs: list):
+        out = []
+        di = 0
+        for m in meta:
+            kind = m[0]
+            if kind == "reuse":
+                out.append(None)
+                continue
+            if kind == "delta":
+                _, dt_i, idx_off, bucket, val_off, row_elems, shape = m
+                idx = jax.lax.dynamic_slice(idx_buf, (idx_off,), (bucket,))
+                vals = jax.lax.dynamic_slice(
+                    val_bufs[dt_i], (val_off,), (bucket * row_elems,)
+                ).reshape((bucket,) + shape[1:])
+                d = delta_devs[di]
+                di += 1
+                out.append(d.at[idx].set(vals))
+            else:  # full
+                _, dt_i, val_off, size, shape = m
+                vals = jax.lax.dynamic_slice(
+                    val_bufs[dt_i], (val_off,), (size,)
+                ).reshape(shape)
+                out.append(vals)
+        return out
+
+    return apply
 
 
 class DeviceSync:
@@ -63,10 +95,10 @@ class DeviceSync:
 
     # ------------------------------------------------------------------
     def _bucket_for(self, key: str, n: int, commit: bool = True) -> int:
-        # Coarse (x4) monotone buckets: the jitted update's signature is the
-        # tuple of every leaf's bucket, so each growth step is a retrace —
-        # 16*4^k keeps that to <=8 steps per leaf and in practice a handful
-        # of signatures per session (analogous to the solver caps pools).
+        # Coarse (x4) monotone buckets: the applier layout includes every
+        # leaf's bucket, so each growth step is a retrace — 16*4^k keeps
+        # that to <=8 steps per leaf and in practice a handful of layouts
+        # per session (analogous to the solver caps pools).
         # ``commit=False`` probes without growing the stored bucket (a
         # change that ends up on the full path must not inflate future
         # delta paddings).
@@ -87,87 +119,130 @@ class DeviceSync:
     # ------------------------------------------------------------------
     def sync(self, name: str, tree):
         """Return ``tree`` with every array leaf replaced by its
-        device-resident copy, after uploading only changed rows."""
+        device-resident copy, after uploading only changed rows, packed
+        into one idx buffer + one value buffer per dtype (one dispatch, a
+        handful of transfers)."""
         leaves, treedef = tree_flatten_with_path(tree)
         self.last_detail = {}
-        bytes_up = 0
 
-        plan: List[Tuple[str, str, np.ndarray]] = []  # (mode, key, host)
-        delta_devs, idxs, vals, fulls = [], [], [], []
-        delta_keys, full_keys = [], []
-        out_slots: List[Tuple[str, object]] = []  # (mode, payload)
+        # Value buffers keyed by canonical dtype name.
+        val_chunks: Dict[str, List[np.ndarray]] = {}
+        val_sizes: Dict[str, int] = {}
+        idx_chunks: List[np.ndarray] = []
+        idx_size = 0
+        meta: List[tuple] = []
+        delta_devs: List[jax.Array] = []
+        keys_out: List[str] = []
+        hosts_out: List[np.ndarray] = []
+
+        def dt_name(h):
+            return str(h.dtype)
 
         for path, leaf in leaves:
             key = name + keystr(path)
             h = np.asarray(leaf)
+            keys_out.append(key)
+            hosts_out.append(h)
             cached = self._host.get(key)
             dev = self._dev.get(key)
+            mode = "full"
+            rows = None
             if (
-                cached is None
-                or dev is None
-                or cached.shape != h.shape
-                or cached.dtype != h.dtype
-                or h.ndim == 0
-                or h.shape[0] == 0
+                cached is not None
+                and dev is not None
+                and cached.shape == h.shape
+                and cached.dtype == h.dtype
+                and h.ndim >= 1
+                and h.shape[0] > 0
             ):
-                mode = "full"
-            else:
                 rows = self._changed_rows(h, cached)
                 if len(rows) == 0:
                     mode = "reuse"
                 else:
-                    # Delta only when it actually saves bytes (bucketed idx +
-                    # changed rows vs the whole array) — sliding-window pools
-                    # whose every row shifts then take the plain full path.
+                    # Delta only when it saves bytes (bucketed idx + changed
+                    # rows vs the whole array) — sliding-window pools whose
+                    # every row shifts take the plain full path.
                     cap = self._bucket_for(key, len(rows), commit=False)
                     row_bytes = h.nbytes // h.shape[0]
-                    if cap * (4 + row_bytes) >= h.nbytes:
-                        mode = "full"
-                    else:
+                    if cap * (4 + row_bytes) < h.nbytes:
                         mode = "delta"
+
+            dn = dt_name(h)
             if mode == "reuse":
-                out_slots.append(("reuse", dev))
+                meta.append(("reuse",))
                 self.last_detail[key] = ("reuse", 0)
             elif mode == "delta":
                 cap = self._bucket_for(key, len(rows))
                 idx = np.zeros(cap, dtype=np.int32)
                 idx[: len(rows)] = rows
-                v = np.empty((cap,) + h.shape[1:], dtype=h.dtype)
-                v[: len(rows)] = h[rows]
-                v[len(rows) :] = h[0]  # idempotent padding writes to row 0
+                row_elems = int(np.prod(h.shape[1:], dtype=np.int64))
+                v = np.empty((cap, row_elems), dtype=h.dtype)
+                v[: len(rows)] = h[rows].reshape(len(rows), row_elems)
+                v[len(rows) :] = h[0].reshape(row_elems)  # idempotent pad
+                dti = val_chunks.setdefault(dn, [])
+                off = val_sizes.get(dn, 0)
+                dti.append(v.reshape(-1))
+                val_sizes[dn] = off + v.size
+                meta.append(
+                    ("delta", dn, idx_size, cap, off, row_elems, h.shape)
+                )
+                idx_chunks.append(idx)
+                idx_size += cap
                 delta_devs.append(dev)
-                idxs.append(idx)
-                vals.append(v)
-                delta_keys.append(key)
-                out_slots.append(("delta", len(delta_devs) - 1))
                 nb = idx.nbytes + v.nbytes
-                bytes_up += nb
                 self.last_detail[key] = ("delta", nb)
             else:
-                fulls.append(h)
-                full_keys.append(key)
-                out_slots.append(("full", len(fulls) - 1))
-                bytes_up += h.nbytes
+                flat = np.ascontiguousarray(h).reshape(-1)
+                dti = val_chunks.setdefault(dn, [])
+                off = val_sizes.get(dn, 0)
+                dti.append(flat)
+                val_sizes[dn] = off + flat.size
+                meta.append(("full", dn, off, int(flat.size), h.shape))
                 self.last_detail[key] = ("full", h.nbytes)
-            self._host[key] = h
 
-        if delta_devs or fulls:
-            updated, full_devs = _apply_updates(delta_devs, idxs, vals, fulls)
-            for k, d in zip(delta_keys, updated):
-                self._dev[k] = d
-            for k, d in zip(full_keys, full_devs):
-                self._dev[k] = d
+        dtype_order = tuple(sorted(val_chunks))
+        dt_index = {d: i for i, d in enumerate(dtype_order)}
+        # Resolve dtype names to buffer indices in the static meta.
+        meta_resolved = []
+        for m in meta:
+            if m[0] == "reuse":
+                meta_resolved.append(("reuse",))
+            elif m[0] == "delta":
+                _, dn, idx_off, cap, off, row_elems, shape = m
+                meta_resolved.append(
+                    ("delta", dt_index[dn], idx_off, cap, off, row_elems,
+                     tuple(shape))
+                )
+            else:
+                _, dn, off, size, shape = m
+                meta_resolved.append(
+                    ("full", dt_index[dn], off, size, tuple(shape))
+                )
+        meta_resolved = tuple(meta_resolved)
+
+        bytes_up = sum(b for _, b in self.last_detail.values())
+        if idx_chunks or val_chunks:
+            idx_buf = (
+                np.concatenate(idx_chunks)
+                if idx_chunks
+                else np.zeros(1, np.int32)
+            )
+            val_bufs = [
+                np.concatenate(val_chunks[d]) for d in dtype_order
+            ]
+            apply = _applier(meta_resolved, dtype_order)
+            new_leaves = apply(delta_devs, idx_buf, val_bufs)
         else:
-            updated, full_devs = [], []
+            new_leaves = [None] * len(meta_resolved)
 
         out_leaves = []
-        for mode, payload in out_slots:
-            if mode == "reuse":
-                out_leaves.append(payload)
-            elif mode == "delta":
-                out_leaves.append(updated[payload])
+        for key, h, m, nl in zip(keys_out, hosts_out, meta_resolved, new_leaves):
+            if m[0] == "reuse":
+                out_leaves.append(self._dev[key])
             else:
-                out_leaves.append(full_devs[payload])
+                self._dev[key] = nl
+                out_leaves.append(nl)
+            self._host[key] = h
 
         self.last_bytes = bytes_up
         self.total_bytes += bytes_up

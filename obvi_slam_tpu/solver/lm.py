@@ -69,18 +69,24 @@ class LMSummary:
     iterations: List[IterationRecord] = field(default_factory=list)
 
 
-@functools.partial(jax.jit, static_argnames=("huber",))
-def _jit_step(state, cams, tables, plan, free, weights, radius, huber):
-    return schur_mod.compute_step(state, cams, tables, plan, free, weights, radius, huber)
+@functools.partial(jax.jit, static_argnames=("huber", "shard_mesh"))
+def _jit_step(state, cams, tables, plan, free, weights, radius, huber,
+              shard_mesh=None):
+    return schur_mod.compute_step(
+        state, cams, tables, plan, free, weights, radius, huber,
+        shard_mesh=shard_mesh,
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("huber",))
-def _jit_iteration(state, cams, tables, plan, free, weights, radius, huber):
+@functools.partial(jax.jit, static_argnames=("huber", "shard_mesh"))
+def _jit_iteration(state, cams, tables, plan, free, weights, radius, huber,
+                   shard_mesh=None):
     """One full LM trial in ONE dispatch: step + candidate state + new cost +
     norms. The host loop then needs a single device round-trip per iteration
     (the accept/reject/radius logic stays on host, matching Ceres)."""
     delta, model_change, grad_max = schur_mod.compute_step(
-        state, cams, tables, plan, free, weights, radius, huber
+        state, cams, tables, plan, free, weights, radius, huber,
+        shard_mesh=shard_mesh,
     )
     new_state = BAState(
         poses=state.poses + delta.poses * free.poses[:, None],
@@ -149,6 +155,7 @@ def solve(
     params: LMParams = LMParams(),
     huber: schur_mod.HuberParams = schur_mod.HuberParams(),
     iteration_callback=None,
+    shard_mesh=None,
 ):
     """Run LM to convergence. Returns (state, LMSummary)."""
     if weights is None:
@@ -175,7 +182,7 @@ def solve(
     for it in range(params.max_num_iterations):
         new_state, scalars = _jit_iteration(
             state, cams, tables, plan, free, weights,
-            jnp.asarray(radius, state.poses.dtype), huber,
+            jnp.asarray(radius, state.poses.dtype), huber, shard_mesh=shard_mesh
         )
         # ONE device->host readback per iteration.
         model_change, grad_max, new_cost, step_norm, x_norm = map(

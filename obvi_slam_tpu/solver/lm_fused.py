@@ -78,11 +78,13 @@ def _cost_fn(state, cams, tables, weights, huber):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "huber", "dense_schur", "with_records"),
+    static_argnames=(
+        "params", "huber", "dense_schur", "with_records", "shard_mesh"
+    ),
 )
 def solve_fused_jit(
     state, cams, tables, plan, free, weights, params: LMParams, huber,
-    dense_schur=None, with_records=False,
+    dense_schur=None, with_records=False, shard_mesh=None,
 ):
     dtype = state.poses.dtype
     max_it = params.max_num_iterations
@@ -123,7 +125,7 @@ def solve_fused_jit(
     def body(c: _Carry):
         delta, model_change, grad_max = schur_mod.compute_step(
             c.state, cams, tables, plan, free, weights, c.radius, huber,
-            dense_schur=dense_schur,
+            dense_schur=dense_schur, shard_mesh=shard_mesh,
         )
         new_state = BAState(
             poses=c.state.poses + delta.poses * free.poses[:, None],
@@ -269,6 +271,7 @@ def solve_fused(
     params: LMParams = LMParams(),
     huber: schur_mod.HuberParams = schur_mod.HuberParams(),
     with_records: bool = False,
+    shard_mesh=None,
 ):
     """Drop-in replacement for solver.lm.solve with one device dispatch."""
     if weights is None:
@@ -287,7 +290,7 @@ def solve_fused(
 
     final, init_cost = solve_fused_jit(
         state, cams, tables, plan, free, weights, params, huber,
-        with_records=with_records,
+        with_records=with_records, shard_mesh=shard_mesh,
     )
     # ONE batched device->host transfer for every scalar/record the summary
     # needs: per-field float()/int() reads are separate round trips, which

@@ -917,6 +917,8 @@ def compute_step(
     huber: HuberParams = HuberParams(),
     dense_schur: bool = None,
     _profile_stop: str = None,
+    shard_mesh=None,
+    shard_axis: str = "factors",
 ):
     """One damped Gauss-Newton (LM) step.
 
@@ -1255,6 +1257,28 @@ def compute_step(
             blocks, mode="drop", unique_indices=True
         )
 
+    def _shard_rows(z, axis_index):
+        """Landmark/slot-axis sharding constraint on a z tensor.
+
+        Without this, the factor-axis input sharding dies at the fused H/b
+        all-reduce and EVERY gram — the step's FLOP carrier — runs
+        replicated on all devices (audited: the compiled 8-device HLO held
+        exactly one 2.1 MB tuple all-reduce and no other collectives, so
+        multi-chip speedup capped at the resjac share). Sharding the z
+        rows makes the gram's contraction dim sharded on both operands:
+        XLA emits per-device partial group grams + one all-reduce of the
+        (G, 768, 768) result — compute scales 1/N, comm is the gram
+        output, not the factor tables."""
+        if shard_mesh is None:
+            return z
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = [None] * z.ndim
+        spec[axis_index] = shard_axis
+        return jax.lax.with_sharding_constraint(
+            z, NamedSharding(shard_mesh, PartitionSpec(*spec))
+        )
+
     def _slot_gram(
         w_scaled_blocks, slot_gather, slot_pose, slot_mask, bw,
         band_local=None, cp_order=False, emit_tiles=False, skip_gram=False,
@@ -1341,6 +1365,7 @@ def compute_step(
                 zg = z4.reshape(n_group, lg, bw, 6 * width).reshape(
                     n_group, lg * bw, 6 * width
                 )  # contraction rows (l, b); columns (c, p)
+                zg = _shard_rows(zg, 1)
                 if _profile_stop == "ptz":
                     return zg
                 if split_gram:
@@ -1435,6 +1460,7 @@ def compute_step(
                 precision=_P_HI,
                 preferred_element_type=dtype,
             ).reshape(L * bw, 6 * n_pose)  # (l*b, (c, p))
+            zf = _shard_rows(zf, 0)
             if skip_gram:
                 # Band-solve mode: the object coupling goes into the
                 # Woodbury low-rank term as zf itself; its (6P, 6P) gram is
@@ -1452,13 +1478,16 @@ def compute_step(
                 )
             return s, zf
         z_bs = tuple(
-            jax.lax.dot_general(
-                onehot,
-                w_comp[..., b],
-                (((1,), (1,)), ((0,), (0,))),
-                precision=_P_HI,
-                preferred_element_type=dtype,
-            )  # (L, P, 6)
+            _shard_rows(
+                jax.lax.dot_general(
+                    onehot,
+                    w_comp[..., b],
+                    (((1,), (1,)), ((0,), (0,))),
+                    precision=_P_HI,
+                    preferred_element_type=dtype,
+                ),
+                0,
+            )  # (L, P, 6), landmark axis sharded
             for b in range(bw)
         )
         tile_m = ops_syrk.syrk_tile_m(n_pose * 6) if _use_syrk(dtype) else None

@@ -41,13 +41,20 @@ def main(argv=None):
     parser.add_argument("--json_out", default="")
     args = parser.parse_args(argv)
 
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-    xf = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in xf:
-        os.environ["XLA_FLAGS"] = (
-            xf + f" --xla_force_host_platform_device_count={args.devices}"
-        ).strip()
+    # The axon sitecustomize imports jax at interpreter startup with
+    # JAX_PLATFORMS=axon; env mutation here is too late — re-exec once with
+    # the CPU-mesh environment (same pattern as tests/conftest.py).
+    if os.environ.get("PALLAS_AXON_POOL_IPS") or "OBVI_AUDIT_REEXEC" not in os.environ:
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["OBVI_AUDIT_REEXEC"] = "1"
+        xf = env.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in xf:
+            env["XLA_FLAGS"] = (
+                xf + f" --xla_force_host_platform_device_count={args.devices}"
+            ).strip()
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
     import jax
     import jax.numpy as jnp
@@ -84,25 +91,13 @@ def main(argv=None):
         compiled = lowered.compile()
         hlo = compiled.as_text()
 
-        coll_re = re.compile(
-            r"(f32|bf16|s32|pred|u32|f64)\[([0-9,]*)\][^=]*\s"
-            r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
-            r"all-to-all)\(",
+        from obvi_slam_tpu.parallel.audit import (
+            all_reduce_bytes,
+            collect_collectives,
         )
-        dsize = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "f64": 8}
-        by_op = {}
-        ar_bytes = 0
-        for m in coll_re.finditer(hlo):
-            dt, dims, op = m.group(1), m.group(2), m.group(3)
-            shape = [int(x) for x in dims.split(",") if x] or [1]
-            nbytes = int(np.prod(shape)) * dsize[dt]
-            rec = by_op.setdefault(op, {"count": 0, "bytes": 0, "shapes": []})
-            rec["count"] += 1
-            rec["bytes"] += nbytes
-            if len(rec["shapes"]) < 12:
-                rec["shapes"].append(f"{dt}[{dims}]")
-            if op in ("all-reduce", "reduce-scatter"):
-                ar_bytes += nbytes
+
+        by_op = collect_collectives(hlo)
+        ar_bytes = all_reduce_bytes(by_op)
 
         phases = flops_mod.lm_iteration_flops(
             p[3], plan, n_pose, n_points, n_obj,
