@@ -1215,9 +1215,6 @@ def compute_step(
     eye6 = jnp.eye(6, dtype=dtype)
     act = pose_active.astype(dtype)
     diag_idx = jnp.arange(n_pose)
-    if dense_schur is None:
-        dense_schur = (n_pose * 6) * (n_point * 3) <= 256 * 1024 * 1024
-
     split_gram = _use_split_gram(dtype)
 
     def _gram(m):
@@ -1550,6 +1547,18 @@ def compute_step(
         plan.ob_slot_gather.shape[0] * plan.ob_slot_gather.shape[1] * n_pose
         <= _slot_budget
     )
+    if dense_schur is None:
+        # The dense-U size rule predates the slot grams: with the BANDED
+        # layout no (6P, 3M)-sized buffer ever exists — the z build is
+        # (G, Lg*3, 768), independent of P — so large banded problems
+        # (1024 poses x 16k points, the reference scale) must stay on the
+        # slot-gram path instead of falling back to pair enumeration.
+        if pt_band and pt_slot_ok:
+            lp = plan.pt_band_local_pose.shape
+            u_elems = lp[0] * lp[1] * 3 * 6 * 2 * _BAND_TP
+        else:
+            u_elems = (n_pose * 6) * (n_point * 3)
+        dense_schur = u_elems <= 256 * 1024 * 1024
     # Under banding the whole reduced camera system is assembled and solved
     # in (component, pose)-major order — the band grams' native layout —
     # and only the (P, 6) rhs/delta vectors are transposed at the solve
@@ -1564,12 +1573,18 @@ def compute_step(
     # tile of its partner — rel_band_local_pose present), the object slot
     # grid (Z), and a low-rank object term worth the Woodbury detour.
     band_solve_on = (
-        cp_order
+        dense_schur  # tiles come from the slot-gram path
+        and cp_order
         and ob_slot_ok
         and _use_band_solve(n_pose)
         and plan.rel_band_local_pose is not None
         and plan.ob_slot_gather.shape[0] * 7 <= 3 * n_pose
-        and _profile_stop is None
+        # Profile stops that are path-identical (or band-specific) keep the
+        # band path; stops tied to the dense S (sassembly/ptfold/obgram)
+        # force the dense path.
+        and _profile_stop
+        in (None, "resjac", "hb", "w", "ptw", "ptz", "ptgram", "bandtiles",
+            "rhs", "chol", "backsub")
     )
 
     s_sub2 = None
@@ -1726,6 +1741,11 @@ def compute_step(
                     e_t5.reshape(nb_t - 1, m_t, m_t),
                 )
                 s4 = None
+                if _profile_stop == "bandtiles":
+                    return _profile_exit(
+                        band_tiles[0], band_tiles[1], b_p, b_l, b_o,
+                        grad_max, z_pt, z_ob,
+                    )
             else:
                 # c-major flat indices: (c, p) -> c * P + p.
                 rr_idx = ci[None, :, None] * n_pose + rows_blk[:, None, None]
@@ -1904,7 +1924,8 @@ def compute_step(
     b_s = b_s * act[:, None]
 
     if _profile_stop == "rhs":
-        pieces = [s4, b_s, b_l, b_o, grad_max]
+        pieces = [b_s, b_l, b_o, grad_max]
+        pieces += list(band_tiles) if s4 is None else [s4]
         for z in (z_pt, z_ob):
             if isinstance(z, tuple):
                 pieces += list(z)

@@ -41,8 +41,12 @@ PHASES = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else {
 dev = [d for d in jax.devices() if d.platform != "cpu"][0]
 print("device:", dev, flush=True)
 
+import os
+_POSES = int(os.environ.get("OBVI_PHASE_POSES", "256"))
 problem = synthetic_problem(
-    n_poses=256, n_points=4096, n_objects=32,
+    n_poses=_POSES,
+    n_points=int(os.environ.get("OBVI_PHASE_POINTS", str(_POSES * 16))),
+    n_objects=int(os.environ.get("OBVI_PHASE_OBJECTS", str(max(_POSES // 8, 8)))),
     obs_per_point=6, obs_per_object=12, dtype=np.float32,
 )
 state, _, cams, tables, plan, free, weights, huber = (
@@ -362,10 +366,18 @@ if "stepsub" in PHASES:
 
         return fn
 
-    stops = (
-        "resjac", "hb", "w", "ptw", "ptz", "ptgram", "ptfold", "obgram",
-        "sassembly", "rhs", "chol", "backsub",
-    )
+    # Band-solve mode (OBVI_BAND_SOLVE=on at >=512 poses) replaces the
+    # dense-S stops with band-specific ones.
+    if sm._use_band_solve(_POSES):
+        stops = (
+            "resjac", "hb", "w", "ptw", "ptz", "ptgram", "bandtiles",
+            "rhs", "chol", "backsub",
+        )
+    else:
+        stops = (
+            "resjac", "hb", "w", "ptw", "ptz", "ptgram", "ptfold", "obgram",
+            "sassembly", "rhs", "chol", "backsub",
+        )
     cum = {}
     for stop in stops:
         cum[stop] = chain(
