@@ -155,24 +155,28 @@ class DeviceSync:
                 and h.ndim >= 1
                 and h.shape[0] > 0
             ):
+                # ALWAYS the delta path for same-shape leaves — zero
+                # changed rows included (bucket of idempotent row-0
+                # writes). The applier's layout is static metadata; if the
+                # per-leaf mode tracked the actual change pattern, nearly
+                # every sync produced a fresh layout and therefore a fresh
+                # remote compile (~0.6 s/sync measured through the tunnel).
+                # With modes canonicalized, the layout is a function of the
+                # monotone per-leaf buckets only and stabilizes after
+                # warmup; the cost is a few no-op rows per quiet leaf.
                 rows = self._changed_rows(h, cached)
-                if len(rows) == 0:
-                    mode = "reuse"
-                else:
-                    # Delta only when it saves bytes (bucketed idx + changed
-                    # rows vs the whole array) — sliding-window pools whose
-                    # every row shifts take the plain full path.
-                    cap = self._bucket_for(key, len(rows), commit=False)
-                    row_bytes = h.nbytes // h.shape[0]
-                    if cap * (4 + row_bytes) < h.nbytes:
-                        mode = "delta"
+                mode = "delta"
 
             dn = dt_name(h)
             if mode == "reuse":
                 meta.append(("reuse",))
                 self.last_detail[key] = ("reuse", 0)
             elif mode == "delta":
-                cap = self._bucket_for(key, len(rows))
+                # Clamp at the leaf's row count: a 4^k bucket above it would
+                # upload more than the whole array (sliding-window pools
+                # change every row). Still a stable function of the
+                # monotone bucket + leaf shape.
+                cap = min(self._bucket_for(key, len(rows)), h.shape[0])
                 idx = np.zeros(cap, dtype=np.int32)
                 idx[: len(rows)] = rows
                 row_elems = int(np.prod(h.shape[1:], dtype=np.int64))
