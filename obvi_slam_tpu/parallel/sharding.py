@@ -117,6 +117,11 @@ def shard_problem(problem, mesh, axis_name=FACTOR_AXIS):
         free=_replicate(problem.free, mesh),
         weights=shard_weights(problem.weights, mesh, axis_name),
         huber=problem.huber,
+        aux=(
+            _replicate(problem.aux, mesh)
+            if problem.aux is not None
+            else None
+        ),
         pose_rows=problem.pose_rows,
         point_rows=problem.point_rows,
         obj_rows=problem.obj_rows,

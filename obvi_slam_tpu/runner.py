@@ -280,7 +280,7 @@ class OfflineProblemRunner:
         from dataclasses import replace
 
         sync = self.device_sync_for(key)
-        state, cams, tables, plan, free, weights = sync.sync(
+        state, cams, tables, plan, free, weights, aux = sync.sync(
             key,
             (
                 problem.state,
@@ -289,6 +289,7 @@ class OfflineProblemRunner:
                 problem.plan,
                 problem.free,
                 problem.weights,
+                problem.aux,
             ),
         )
         return replace(
@@ -299,6 +300,7 @@ class OfflineProblemRunner:
             plan=plan,
             free=free,
             weights=weights,
+            aux=aux,
         )
 
     # ------------------------------------------------------------------
@@ -505,6 +507,46 @@ class OfflineProblemRunner:
                     problem = self._maybe_shard(problem, global_ba)
             snapshot = pg.snapshot_values()
 
+            use_fused = self.use_fused_solver
+            if use_fused is None:
+                use_fused = jax.default_backend() != "cpu"
+            if two_phase and use_fused and problem.aux is not None:
+                # Fused two-phase: solve_1 + outlier ranking + factor
+                # re-selection + solve_2 as ONE device program
+                # (lm_fused.solve_two_phase_jit) — removes the residual
+                # readback, host reweight, weight re-upload, and second
+                # dispatch fence per window. The timer covers BOTH phases
+                # (the phase boundary no longer exists on the host).
+                state, s1, s2 = self._solve_two_phase_fused(
+                    problem, iteration_params, global_ba
+                )
+                self._log_solve(
+                    problem, s1, next_frame_id, global_ba, 1, attempt_num
+                )
+                self._log_solve(
+                    problem, s2, next_frame_id, global_ba, 2, attempt_num
+                )
+                self.write_back_synced(key, pg, problem, state)
+                if iteration_params.allow_reversion_after_detecting_jumps:
+                    if not self._consecutive_poses_stable(
+                        pg,
+                        scope.min_frame_id,
+                        scope.max_frame_id,
+                        iteration_params.consecutive_pose_transl_tol,
+                        iteration_params.consecutive_pose_orient_tol,
+                    ):
+                        logger.warning(
+                            "Jump detected after optimizing frame %d; "
+                            "reverting",
+                            next_frame_id,
+                        )
+                        pg.restore_values(snapshot)
+                if self.hooks.visualization is not None:
+                    self.hooks.visualization(
+                        pg, "AFTER_EACH_OPTIMIZATION", next_frame_id
+                    )
+                return True
+
             with timer(
                 ("phase_one_gba_solve_opt" if global_ba else "phase_one_lba_solve_opt")
             ):
@@ -591,6 +633,54 @@ class OfflineProblemRunner:
         if self.hooks.visualization is not None:
             self.hooks.visualization(pg, "AFTER_EACH_OPTIMIZATION", next_frame_id)
         return True
+
+    def _solve_two_phase_fused(self, problem, iteration_params, global_ba):
+        """Both phases of the window iteration in one device dispatch."""
+        from obvi_slam_tpu import optlog
+        from obvi_slam_tpu.solver import lm_fused
+        from obvi_slam_tpu.solver.two_phase import TwoPhaseConfig
+
+        sc = problem.scope
+        tp_cfg = TwoPhaseConfig(
+            feature_outlier_percentage=float(
+                iteration_params.feature_outlier_percentage
+            ),
+            min_low_level_feature_observations=int(
+                sc.min_low_level_feature_observations
+            ),
+            min_low_level_feature_observations_per_frame=int(
+                sc.min_low_level_feature_observations_per_frame
+            ),
+            min_object_observations=int(sc.min_object_observations),
+            include_visual_factors=bool(sc.include_visual_factors),
+            include_object_factors=bool(sc.include_object_factors),
+            include_shape_priors=bool(sc.include_shape_priors),
+            fix_objects=bool(sc.fix_objects),
+            fix_ltm_objects=bool(sc.fix_ltm_objects),
+            force_include_ltm_objs=bool(sc.force_include_ltm_objs),
+        )
+        with_records = (
+            self.hooks.solve_logger is not None
+            or optlog.IterationLoggerFactory.instance().enabled
+        )
+        with timer(
+            "phase_one_gba_solve_opt" if global_ba else "phase_one_lba_solve_opt"
+        ):
+            return lm_fused.solve_two_phase_fused(
+                problem.state,
+                problem.cams,
+                problem.tables,
+                problem.plan,
+                problem.free,
+                problem.weights,
+                problem.aux,
+                lm_params_from_config(iteration_params.phase_one_opt_params),
+                lm_params_from_config(iteration_params.phase_two_opt_params),
+                problem.huber,
+                tp_cfg,
+                with_records=with_records,
+                shard_mesh=self.mesh if self.mesh is not None else None,
+            )
 
     def _consecutive_poses_stable(self, pg, min_frame, max_frame, transl_tol, orient_tol):
         """isConsecutivePosesStable_ (offline_problem_runner.h:337-374)."""

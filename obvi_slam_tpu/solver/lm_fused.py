@@ -76,16 +76,12 @@ def _cost_fn(state, cams, tables, weights, huber):
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "params", "huber", "dense_schur", "with_records", "shard_mesh"
-    ),
-)
-def solve_fused_jit(
+def _run_lm(
     state, cams, tables, plan, free, weights, params: LMParams, huber,
     dense_schur=None, with_records=False, shard_mesh=None,
 ):
+    """The fused trust-region loop as a traceable function (shared by
+    solve_fused_jit and the fused two-phase program)."""
     dtype = state.poses.dtype
     max_it = params.max_num_iterations
 
@@ -259,6 +255,109 @@ def solve_fused_jit(
     final = jax.lax.while_loop(cond, body, carry)
     term = jnp.where(final.term == 0, 5, final.term)
     return final._replace(term=term), init_cost
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "params", "huber", "dense_schur", "with_records", "shard_mesh"
+    ),
+)
+def solve_fused_jit(
+    state, cams, tables, plan, free, weights, params: LMParams, huber,
+    dense_schur=None, with_records=False, shard_mesh=None,
+):
+    return _run_lm(
+        state, cams, tables, plan, free, weights, params, huber,
+        dense_schur=dense_schur, with_records=with_records,
+        shard_mesh=shard_mesh,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "params1", "params2", "huber", "tp_cfg", "dense_schur",
+        "with_records", "shard_mesh"
+    ),
+)
+def solve_two_phase_jit(
+    state, cams, tables, plan, free, weights, aux,
+    params1: LMParams, params2: LMParams, huber, tp_cfg,
+    dense_schur=None, with_records=False, shard_mesh=None,
+):
+    """The reference's whole two-phase window iteration as ONE XLA program:
+    phase-1 fused LM -> residual ranking + factor re-selection at the
+    phase-1 optimum (solver/two_phase.py, host-identical semantics) ->
+    phase-2 fused LM restarted from the INPUT state (the reference's
+    revert-then-reoptimize, offline_problem_runner.h:544-894). Removes the
+    per-window residual readback + weight re-upload + extra dispatch fences
+    that dominate window time on the remote-TPU tunnel."""
+    from obvi_slam_tpu.solver import two_phase as tp_mod
+
+    final1, init_cost1 = _run_lm(
+        state, cams, tables, plan, free, weights, params1, huber,
+        dense_schur=dense_schur, with_records=with_records,
+        shard_mesh=shard_mesh,
+    )
+    res = fac.all_residuals(
+        final1.state, cams, tables, huber.invalid_ellipse_error
+    )
+    weights2 = tp_mod.reweight_on_device(
+        tables, weights, res["reproj"], res["bbox"], aux, tp_cfg,
+        n_pose=state.poses.shape[0], n_point=state.points.shape[0],
+    )
+    final2, init_cost2 = _run_lm(
+        state, cams, tables, plan, free, weights2, params2, huber,
+        dense_schur=dense_schur, with_records=with_records,
+        shard_mesh=shard_mesh,
+    )
+    return final1, init_cost1, final2, init_cost2
+
+
+def solve_two_phase_fused(
+    state, cams, tables, plan, free, weights, aux,
+    params1: LMParams, params2: LMParams,
+    huber: schur_mod.HuberParams, tp_cfg,
+    with_records: bool = False, shard_mesh=None,
+):
+    """Host wrapper: returns (final_state, summary1, summary2) with ONE
+    batched device->host readback for both phases' summaries."""
+    final1, ic1, final2, ic2 = solve_two_phase_jit(
+        state, cams, tables, plan, free, weights, aux,
+        params1, params2, huber, tp_cfg,
+        with_records=with_records, shard_mesh=shard_mesh,
+    )
+    reads = []
+    for final, ic in ((final1, ic1), (final2, ic2)):
+        reads.extend([
+            ic, final.cost, final.it, final.num_success, final.num_fail,
+            final.term, final.rec_cost, final.rec_change,
+            final.rec_step_norm, final.rec_radius, final.rec_accepted,
+        ])
+    host = jax.device_get(tuple(reads))
+    summaries = []
+    for k in range(2):
+        (ic_h, fc_h, it_h, ns_h, nf_h, term_h, rc_h, rch_h, rsn_h, rr_h,
+         ra_h) = host[k * 11:(k + 1) * 11]
+        summary = LMSummary()
+        summary.initial_cost = float(ic_h)
+        summary.final_cost = float(fc_h)
+        summary.num_iterations = int(it_h)
+        summary.num_successful_steps = int(ns_h)
+        summary.num_unsuccessful_steps = int(nf_h)
+        summary.termination = TERMINATION_NAMES[int(term_h)]
+        if with_records:
+            n = int(it_h)
+            summary.iterations = [
+                IterationRecord(
+                    i, float(rc_h[i]), float(rch_h[i]), float(rsn_h[i]),
+                    float(rr_h[i]), bool(ra_h[i]),
+                )
+                for i in range(n)
+            ]
+        summaries.append(summary)
+    return final2.state, summaries[0], summaries[1]
 
 
 def solve_fused(

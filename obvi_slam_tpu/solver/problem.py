@@ -42,6 +42,7 @@ from obvi_slam_tpu.pose_graph import (
     PoseGraph,
 )
 from obvi_slam_tpu.solver import schur as schur_mod
+from obvi_slam_tpu.solver.two_phase import TwoPhaseAux
 
 
 @dataclass
@@ -93,6 +94,10 @@ class Problem:
     scope: Scope = None
     # numpy copies of weight vectors (pre-exclusion), for the outlier pass
     base_weights_np: dict = field(default_factory=dict)
+    # Device arrays for the fused two-phase re-selection
+    # (solver/two_phase.py): LTM membership per object row, shape-prior
+    # tombstone mask.
+    aux: TwoPhaseAux = None
 
 
 def camera_bundle_from_pose_graph(pg: PoseGraph, dtype=np.float64):
@@ -619,6 +624,21 @@ def _build_problem_impl(
         rl_cap=rl_cap,
     )
 
+    # Fused two-phase auxiliary arrays (object LTM membership per row,
+    # shape tombstone mask) — tiny, synced with the tables.
+    is_ltm_np = np.zeros(obj_cap, dtype=bool)
+    for o in obj_ids:
+        if o in pg.ltm_object_ids:
+            is_ltm_np[obj_row_of[o]] = True
+    shape_live_np = np.zeros(sh_cap, dtype=bool)
+    if len(shape_rows):
+        shape_live_np[: len(shape_rows)] = (
+            pg.shape_prior_columns()["object_id"][shape_rows] >= 0
+        )
+    aux = TwoPhaseAux(
+        is_ltm_obj=_asarray(is_ltm_np), shape_live=_asarray(shape_live_np)
+    )
+
     if residual_params is not None:
         huber = schur_mod.HuberParams(
             reproj=residual_params.reprojection_error_huber_loss_param,
@@ -645,6 +665,7 @@ def _build_problem_impl(
         free=free,
         weights=weights,
         huber=huber,
+        aux=aux,
         pose_rows=np.array(frames, dtype=np.int64),
         point_rows=np.array(feat_ids, dtype=np.int64),
         obj_rows=np.array(obj_ids, dtype=np.int64),

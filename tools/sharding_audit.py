@@ -122,6 +122,8 @@ def main(argv=None):
             else None
         )
 
+        ag_bytes = by_op.get("all-gather", {}).get("bytes", 0)
+
         def eff(n, link_bw):
             # Measured single-chip iteration time when provided (honest:
             # the solver runs at ~15% of SOL, so the FLOP bound understates
@@ -131,7 +133,9 @@ def main(argv=None):
                 if measured_ms
                 else total_flops / 2e14  # v5e ~200 Tf/s bf16-effective
             )
-            t_comm = 2 * (n - 1) / n * ar_bytes / link_bw
+            t_comm = (
+                2 * (n - 1) / n * ar_bytes + (n - 1) / n * ag_bytes
+            ) / link_bw
             return t1 / n / (t1 / n + t_comm)
 
         tier = {
