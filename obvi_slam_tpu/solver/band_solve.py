@@ -28,11 +28,26 @@ materialized and no layout permute is needed.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 _P_HI = jax.lax.Precision.HIGHEST
+
+# Cyclic-reduction gate: "auto" switches to CR at >= OBVI_BAND_CR_MIN_NB
+# tiles; "on"/"off" force.
+_BAND_CR = os.environ.get("OBVI_BAND_CR", "auto")
+_BAND_CR_MIN_NB = int(os.environ.get("OBVI_BAND_CR_MIN_NB", "8"))
+
+
+def _use_cyclic_reduction(nb: int) -> bool:
+    if _BAND_CR == "off":
+        return False
+    if _BAND_CR == "on":
+        return True
+    return nb >= _BAND_CR_MIN_NB
 
 
 def _mm(a, b, ta=False, tb=False):
@@ -116,6 +131,105 @@ def block_tridiag_solve(l_d, l_e, rhs):
     return x
 
 
+def _chol_solve(chol, b):
+    """Batched SPD solve from a (batched) Cholesky factor."""
+    y = solve_triangular(chol, b, lower=True)
+    return solve_triangular(chol, y, lower=True, trans=1)
+
+
+def cr_factor(d_tiles, e_tiles):
+    """Block CYCLIC-REDUCTION factorization of an SPD block-tridiagonal
+    matrix: each level eliminates the odd-indexed blocks IN PARALLEL
+    (batched Cholesky + batched matmuls), halving the system — log2(nb)
+    sequential stages instead of nb. The sequential block-tridiag scan
+    (block_tridiag_cholesky) is latency-bound on TPU (~100 us per tiny
+    tile step through the fused program); cyclic reduction trades ~2x the
+    FLOPs for ~4 batched stages.
+
+    Returns an opaque ``levels`` structure for cr_solve. Blocks are padded
+    with identity diagonals / zero couplings to an even count per level
+    (solving an uncoupled I x = b_pad block, harmless).
+    """
+    levels = []
+    d, e = d_tiles, e_tiles
+    while d.shape[0] > 1:
+        nb, m, _ = d.shape
+        if nb % 2 == 1:
+            d = jnp.concatenate(
+                [d, jnp.eye(m, dtype=d.dtype)[None]], axis=0
+            )
+            e = jnp.concatenate(
+                [e, jnp.zeros((1, m, m), d.dtype)], axis=0
+            )
+            nb += 1
+        # e has nb-1 live couplings; pad one zero so eR[k] = e[2k+1] exists
+        # for the last odd block.
+        e_pad = jnp.concatenate([e, jnp.zeros((1, m, m), d.dtype)], axis=0)
+        d_odd = d[1::2]  # (h, m, m) — blocks 2k+1
+        e_l = e_pad[0::2]  # E_{2k}  : couples even 2k -> odd 2k+1
+        e_r = e_pad[1::2]  # E_{2k+1}: couples odd 2k+1 -> even 2k+2
+        chol_odd = jax.lax.linalg.cholesky(d_odd, symmetrize_input=False)
+        p_l = _chol_solve(chol_odd, e_l)  # D_odd^-1 E_{2k}
+        p_r = _chol_solve(
+            chol_odd, jnp.swapaxes(e_r, -1, -2)
+        )  # D_odd^-1 E_{2k+1}^T
+        d_even = d[0::2]
+        term_r = jnp.matmul(
+            jnp.swapaxes(e_l, -1, -2), p_l, precision=_P_HI
+        )  # E_{2k}^T D^-1 E_{2k} at even 2k
+        term_l = jnp.matmul(e_r, p_r, precision=_P_HI)  # at even 2k+2
+        d_new = d_even - term_r
+        d_new = d_new.at[1:].add(-term_l[:-1])
+        e_new = -jnp.matmul(e_r, p_l, precision=_P_HI)[:-1]  # A'[k+1, k]
+        levels.append((chol_odd, e_l, e_r))
+        d, e = d_new, e_new
+    root_chol = jax.lax.linalg.cholesky(d[0], symmetrize_input=False)
+    return levels, root_chol
+
+
+def cr_solve(factors, rhs):
+    """Solve B x = rhs with cr_factor's output. ``rhs``: (nb, m, k)."""
+    levels, root_chol = factors
+    stack = []
+    b = rhs
+    for chol_odd, e_l, e_r in levels:
+        nb_orig, m, k = b.shape
+        nb = nb_orig
+        if nb % 2 == 1:
+            b = jnp.concatenate([b, jnp.zeros((1, m, k), b.dtype)], axis=0)
+            nb += 1
+        b_odd = b[1::2]
+        b_even = b[0::2]
+        u = _chol_solve(chol_odd, b_odd)  # D_odd^-1 b_odd
+        b_new = b_even - jnp.matmul(
+            jnp.swapaxes(e_l, -1, -2), u, precision=_P_HI
+        )
+        b_new = b_new.at[1:].add(
+            -jnp.matmul(e_r[:-1], u[:-1], precision=_P_HI)
+        )
+        stack.append((chol_odd, e_l, e_r, b_odd, nb, nb_orig))
+        b = b_new
+    x = solve_triangular(root_chol, b[0], lower=True)
+    x = solve_triangular(root_chol, x, lower=True, trans=1)[None]
+    for chol_odd, e_l, e_r, b_odd, nb, nb_orig in reversed(stack):
+        m, k = b_odd.shape[-2], b_odd.shape[-1]
+        x_even = x  # (nb//2, m, k)
+        r = b_odd - jnp.matmul(e_l, x_even, precision=_P_HI)
+        # E_{2k+1}^T x_{2k+2}: shift even solutions left; last odd block's
+        # right neighbor is the padding (zero).
+        x_next = jnp.concatenate(
+            [x_even[1:], jnp.zeros((1, m, k), x.dtype)], axis=0
+        )
+        r = r - jnp.matmul(
+            jnp.swapaxes(e_r, -1, -2), x_next, precision=_P_HI
+        )
+        x_odd = _chol_solve(chol_odd, r)
+        x_full = jnp.zeros((nb, m, k), x.dtype)
+        x_full = x_full.at[0::2].set(x_even).at[1::2].set(x_odd)
+        x = x_full[:nb_orig]  # drop this level's even-pad block, if any
+    return x
+
+
 def block_tridiag_matvec(d_tiles, e_tiles, x):
     """B @ x for block-tridiagonal B, x: (nb, m, k)."""
     nb, m, _ = d_tiles.shape
@@ -141,13 +255,27 @@ def woodbury_band_solve(d_tiles, e_tiles, z, rhs, n_refine=1):
     rz = z.shape[0]
     dtype = d_tiles.dtype
 
-    l_d, l_e = block_tridiag_cholesky(d_tiles, e_tiles)
+    # Cyclic reduction for deep bands (log2(nb) batched stages instead of
+    # nb sequential scan steps — the scan is latency-bound at ~100 us/step
+    # through the fused program); the scan path stays for shallow bands
+    # where its lower FLOP count wins.
+    use_cr = _use_cyclic_reduction(nb)
+    if use_cr:
+        cr = cr_factor(d_tiles, e_tiles)
 
-    def b_solve(v_flat_cols):
-        # v: (nb*m, k) -> (nb, m, k) -> solve -> back.
-        k = v_flat_cols.shape[-1]
-        v = v_flat_cols.reshape(nb, m, k)
-        return block_tridiag_solve(l_d, l_e, v).reshape(nb * m, k)
+        def b_solve(v_flat_cols):
+            k = v_flat_cols.shape[-1]
+            v = v_flat_cols.reshape(nb, m, k)
+            return cr_solve(cr, v).reshape(nb * m, k)
+
+    else:
+        l_d, l_e = block_tridiag_cholesky(d_tiles, e_tiles)
+
+        def b_solve(v_flat_cols):
+            # v: (nb*m, k) -> (nb, m, k) -> solve -> back.
+            k = v_flat_cols.shape[-1]
+            v = v_flat_cols.reshape(nb, m, k)
+            return block_tridiag_solve(l_d, l_e, v).reshape(nb * m, k)
 
     # ONE band traversal for rhs + Z together: the scans are sequential over
     # tiles (latency-bound on TPU), so extra right-hand sides ride along for

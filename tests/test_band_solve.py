@@ -158,3 +158,37 @@ class TestBandSolveStepEquality:
         assert sm._use_band_solve(1024)
         monkeypatch.setattr(sm, "_BAND_SOLVE", "off")
         assert not sm._use_band_solve(4096)
+
+
+class TestCyclicReduction:
+    @pytest.mark.parametrize("nb", [2, 3, 5, 8, 16])
+    def test_cr_solve_matches_dense(self, nb):
+        m, k = 8, 3
+        d, e, dense = _random_block_tridiag(nb, m, seed=10 + nb)
+        rng = np.random.default_rng(nb)
+        rhs = rng.normal(size=(nb, m, k))
+        factors = bs.cr_factor(jnp.asarray(d), jnp.asarray(e))
+        x = np.asarray(bs.cr_solve(factors, jnp.asarray(rhs)))
+        x_ref = np.linalg.solve(dense, rhs.reshape(nb * m, k))
+        np.testing.assert_allclose(
+            x.reshape(nb * m, k), x_ref, rtol=1e-8, atol=1e-8
+        )
+
+    def test_woodbury_uses_cr_and_matches(self, monkeypatch):
+        monkeypatch.setattr(bs, "_BAND_CR", "on")
+        nb, m, rz = 6, 8, 10
+        d, e, dense = _random_block_tridiag(nb, m, seed=42)
+        rng = np.random.default_rng(5)
+        z = rng.normal(size=(rz, nb * m)) * 0.2
+        s = dense - z.T @ z
+        assert np.linalg.eigvalsh(s).min() > 0
+        rhs = rng.normal(size=nb * m)
+        x = np.asarray(
+            bs.woodbury_band_solve(
+                jnp.asarray(d), jnp.asarray(e), jnp.asarray(z),
+                jnp.asarray(rhs),
+            )
+        )
+        np.testing.assert_allclose(
+            x, np.linalg.solve(s, rhs), rtol=1e-8, atol=1e-8
+        )
