@@ -204,6 +204,56 @@ class OfflineProblemRunner:
         return self._caps_pools.setdefault(key, {})
 
     # ------------------------------------------------------------------
+    def presize_local_caps(self, data: OfflineProblemData):
+        """Seed the local-BA caps pool from the first full window's RAW
+        observation counts (an upper bound on what the frontend admits).
+
+        Why: each caps high-water growth is a fresh jit signature, and on
+        the remote-TPU tunnel each new signature is a 15-18 s remote
+        compile (measured r4: a duplicate of the same solve call runs in
+        0.035 s). The growing-prefix windows of frames 1..W otherwise mint
+        ~W/2 signatures before the pool stabilizes. Seeding with frames
+        [0..W] collapses that to ~1 (later windows can still grow it —
+        capacities stay monotone minimums, results are identical because
+        padding rows are masked)."""
+        from obvi_slam_tpu.solver.problem import _bucket
+        from obvi_slam_tpu.solver.schur import _round_up
+
+        w = self.config.sliding_window_params.local_ba_window_size
+        obs = pairs = cross = feats = 0
+        max_frames_per_track = 0
+        for track in data.feature_tracks.values():
+            frames_in = [f for f in track if f <= w]
+            if not frames_in:
+                continue
+            feats += 1
+            nf = len(frames_in)
+            pairs += nf
+            cross += nf * nf
+            max_frames_per_track = max(max_frames_per_track, nf)
+            obs += sum(len(track[f]) for f in frames_in)
+        bbs = 0
+        for f, by_cam in getattr(data, "bounding_boxes", {}).items():
+            if f <= w:
+                bbs += sum(len(v) for v in by_cam.values())
+        pool = self.caps_pool("local")
+        seed = {
+            "reproj": _bucket(obs),
+            "bbox": _bucket(max(bbs, 1)),
+            "relpose": _bucket(w + 2),
+            "n_pose": _bucket(w + 2, minimum=8),
+            "n_point": _bucket(max(feats, 1)),
+            "pt_pair": _round_up(pairs),
+            "pt_cross": _round_up(cross),
+            "pt_dest": _round_up(min(cross, (w + 2) ** 2)),
+            "pt_slot_land": _round_up(feats),
+            "pt_slot_c": _round_up(max_frames_per_track, bucket=4),
+        }
+        for k, v in seed.items():
+            pool[k] = max(pool.get(k, 0), int(v))
+        return pool
+
+    # ------------------------------------------------------------------
     def _sync_enabled(self) -> bool:
         if self.mesh is not None:
             return False
@@ -756,6 +806,9 @@ class OfflineProblemRunner:
             max_frame_id = min(lt.max_frame_id, max_frame_id)
 
         with timer("offline_runner_online_portion"):
+            # Collapse the growing-prefix windows' jit-signature churn
+            # (see presize_local_caps).
+            self.presize_local_caps(data)
             if start_at_frame == 0 and add_data_for_starting_frame:
                 self.add_frame_data(data, pg, 0, 0)
 
