@@ -274,49 +274,71 @@ def speed_of_light(problem, measured_iter_s):
     return table
 
 
+def _multi_run_e2e(script, script_args, timeout_s, max_runs=3):
+    """Run an e2e subprocess tier up to ``max_runs`` times within
+    ``timeout_s`` and report cold/warm/median fps (VERDICT r4 #7: the remote
+    service's 4x run-to-run wall-clock variance makes single-run e2e numbers
+    unfalsifiable). Run 1 is the cold-ish run (persistent-cache loads);
+    later runs are warm. ``frames_per_s`` is the MEDIAN across runs; the
+    phase/upload detail kept is from the LAST (warmest) run."""
+    deadline = time.monotonic() + timeout_s
+    runs, result = [], None
+    for i in range(max_runs):
+        budget = deadline - time.monotonic()
+        if i > 0 and (not runs or budget < 1.3 * runs[-1]["wall_s"] + 15):
+            break
+        out = Path(tempfile.mkdtemp()) / "e2e.json"
+        try:
+            subprocess.run(
+                [sys.executable, str(script), "--json_out", str(out)]
+                + list(script_args),
+                timeout=max(budget, 30),
+                check=True,
+                capture_output=True,
+            )
+            with open(out) as f:
+                result = json.load(f)
+            runs.append(
+                {"fps": result["frames_per_s"], "wall_s": result["wall_s"]}
+            )
+        except Exception as e:  # timeout, nonzero exit, missing fixture dir
+            if result is None:
+                return {"error": type(e).__name__}
+            break
+    if result is None:
+        return {"error": "no_runs"}
+    fps = sorted(r["fps"] for r in runs)
+    result.update(
+        {
+            "runs": runs,
+            "cold_fps": runs[0]["fps"],
+            "warm_fps": max((r["fps"] for r in runs[1:]), default=None),
+            "median_fps": fps[len(fps) // 2] if len(fps) % 2 else
+            0.5 * (fps[len(fps) // 2 - 1] + fps[len(fps) // 2]),
+        }
+    )
+    result["frames_per_s"] = result["median_fps"]
+    return result
+
+
 def e2e_bench(timeout_s, extra_args=()):
-    """TUM e2e tier in a subprocess (frames/s + reference-named phase table)."""
-    out = Path(tempfile.mkdtemp()) / "e2e.json"
-    try:
-        subprocess.run(
-            [
-                sys.executable,
-                str(Path(__file__).parent / "tools" / "bench_e2e.py"),
-                "--frames", "40",
-                "--json_out", str(out),
-            ]
-            + list(extra_args),
-            timeout=timeout_s,
-            check=True,
-            capture_output=True,
-        )
-        with open(out) as f:
-            return json.load(f)
-    except Exception as e:  # timeout, nonzero exit, missing fixture dir
-        return {"error": type(e).__name__}
+    """TUM e2e tier (frames/s + reference-named phase table), median-of-N."""
+    return _multi_run_e2e(
+        Path(__file__).parent / "tools" / "bench_e2e.py",
+        ["--frames", "40"] + list(extra_args),
+        timeout_s,
+    )
 
 
 def e2e_objects_bench(timeout_s):
     """Full object-pipeline tier (bb frontend, pending mini-BA, joint BA,
     two-phase, PGO, merge loop, LTM extraction) via the main CLI — the
     reference workload (offline_object_visual_slam_main.cpp:659-1106)."""
-    out = Path(tempfile.mkdtemp()) / "e2e_objects.json"
-    try:
-        subprocess.run(
-            [
-                sys.executable,
-                str(Path(__file__).parent / "tools" / "bench_e2e_objects.py"),
-                "--frames", "30",
-                "--json_out", str(out),
-            ],
-            timeout=timeout_s,
-            check=True,
-            capture_output=True,
-        )
-        with open(out) as f:
-            return json.load(f)
-    except Exception as e:
-        return {"error": type(e).__name__}
+    return _multi_run_e2e(
+        Path(__file__).parent / "tools" / "bench_e2e_objects.py",
+        ["--frames", "30"],
+        timeout_s,
+    )
 
 
 def scale_1024_bench(device):
@@ -480,6 +502,9 @@ def main():
         compact[field] = (
             _num(tier.get("frames_per_s")) if isinstance(tier, dict) else None
         )
+    e2e_tier = record.get("e2e")
+    if isinstance(e2e_tier, dict):
+        compact["e2e_warm_fps"] = _num(e2e_tier.get("warm_fps"))
     s1024 = record.get("scale_1024")
     compact["scale_1024_ips"] = (
         _num(s1024.get("iters_per_s")) if isinstance(s1024, dict) else None

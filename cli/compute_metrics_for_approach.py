@@ -158,25 +158,9 @@ def in_lost_region(traj, t_query):
     return bool(np.min(np.abs(times - t_query)) > max_gap)
 
 
-def extrapolate_pose_with_odom(traj, odom, t_query):
-    """Waypoint pose in a lost/out-of-range region via odometry chaining:
-    est(t) = est(anchor) ∘ (odom(anchor)⁻¹ ∘ odom(t)) with anchor the
-    nearest-in-time non-lost estimated pose.
-
-    Matches the reference's interpolate3dPosesUsingOdom semantics
-    (trajectory_interpolation_utils.cpp:443-520) for required stamps outside
-    the anchored range: its relpose-chain solve holds coarse (non-lost)
-    poses fixed, so the optimum beyond the last anchor is exactly the
-    anchored odometry chain. Odometry is assumed to be base_link-frame
-    (trajectory_metrics_generator.cpp:124 "Assumes odom is for base_link").
-    Returns None when no anchor exists or either timestamp falls outside
-    the odometry's span."""
-    valid = [(_ts_to_sec(ts), p) for ts, p in traj if p is not None]
-    if not valid or len(odom) < 2:
-        return None
-    times = np.array([t for t, _ in valid])
-    t_anchor, p_anchor = valid[int(np.argmin(np.abs(times - t_query)))]
-    odom_traj = [(ts, p) for ts, p in odom]
+def _chain_from_anchor(anchor, odom_traj, t_query):
+    """est(t) = est(anchor) ∘ (odom(anchor)⁻¹ ∘ odom(t)) for one anchor."""
+    t_anchor, p_anchor = anchor
     o_anchor = interpolate_pose_at(odom_traj, t_anchor)
     o_query = interpolate_pose_at(odom_traj, t_query)
     if o_anchor is None or o_query is None:
@@ -187,6 +171,42 @@ def extrapolate_pose_with_odom(traj, odom, t_query):
     rel_r = ra.T @ rq
     re, te = _rt(p_anchor)
     return _from_rt(re @ rel_r, re @ rel_t + te)
+
+
+def extrapolate_pose_with_odom(traj, odom, t_query):
+    """Waypoint pose in a lost/out-of-range region via odometry chaining:
+    est(t) = est(anchor) ∘ (odom(anchor)⁻¹ ∘ odom(t)) with anchor the
+    nearest non-lost estimated pose on each side of ``t_query``.
+
+    Matches the reference's interpolate3dPosesUsingOdom semantics
+    (trajectory_interpolation_utils.cpp:443-520): its relpose-chain solve
+    holds coarse (non-lost) poses fixed, so beyond the last anchor the
+    optimum is exactly the one-sided anchored odometry chain, and inside an
+    interior lost gap (anchors on BOTH sides) the solve blends both fixed
+    endpoints — approximated here by time-weighted blending of the forward
+    and backward chains (linear transl, slerp rotation). Odometry is assumed
+    to be base_link-frame (trajectory_metrics_generator.cpp:124 "Assumes
+    odom is for base_link"). Returns None when no anchor exists or a needed
+    timestamp falls outside the odometry's span."""
+    valid = [(_ts_to_sec(ts), p) for ts, p in traj if p is not None]
+    if not valid or len(odom) < 2:
+        return None
+    odom_traj = [(ts, p) for ts, p in odom]
+    before = [(t, p) for t, p in valid if t <= t_query]
+    after = [(t, p) for t, p in valid if t > t_query]
+    fwd = _chain_from_anchor(before[-1], odom_traj, t_query) if before else None
+    bwd = _chain_from_anchor(after[0], odom_traj, t_query) if after else None
+    if fwd is None and bwd is None:
+        return None
+    if fwd is None or bwd is None:
+        return fwd if fwd is not None else bwd
+    # Interior gap: blend by time proximity to each anchor.
+    t_lo, t_hi = before[-1][0], after[0][0]
+    a = (t_query - t_lo) / max(t_hi - t_lo, 1e-12)
+    t = (1 - a) * fwd[0:3] + a * bwd[0:3]
+    rots = Rotation.from_rotvec(np.stack([fwd[3:6], bwd[3:6]]))
+    r = Slerp([0.0, 1.0], rots)([a])[0]
+    return np.concatenate([t, r.as_rotvec()])
 
 
 # ---------------------------------------------------------------------------

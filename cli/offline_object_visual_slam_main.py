@@ -308,6 +308,34 @@ def main(argv=None):
         enforce_epipolar=config.visual_feature_params.enforce_epipolar_error_requirement,
     )
 
+    # Pre-compile the LTM marginal-covariance program OFF the critical path:
+    # presize the session caps pools now (run_optimization re-seeds them
+    # idempotently), build a zero-row dummy problem at the final session
+    # signature, and compile it in a background thread while the frame loop
+    # runs. Without this the extraction cold-compiles through the remote-TPU
+    # tunnel AFTER the whole session (259 s of the 557 s r4 object bench).
+    ltm_warm_thread = None
+    if args.long_term_map_output and jax.default_backend() != "cpu":
+        import threading
+
+        from obvi_slam_tpu.ltm import warm_marginal_covariance_program
+
+        runner.presize_session_caps(data, max_frame)
+        # Dummy problem built HERE (pg is mutated by the frame loop); only
+        # the compile itself runs in the background.
+        _compile_ltm = warm_marginal_covariance_program(
+            pg, config, dict(runner.caps_pool("global"))
+        )
+
+        def _warm():
+            try:
+                _compile_ltm()
+            except Exception as e:  # never let warmup kill the run
+                logger.warning("LTM program warmup failed: %s", e)
+
+        ltm_warm_thread = threading.Thread(target=_warm, daemon=True)
+        ltm_warm_thread.start()
+
     if args.profile_trace_dir:
         os.makedirs(args.profile_trace_dir, exist_ok=True)
         with jax.profiler.trace(args.profile_trace_dir):
@@ -339,7 +367,8 @@ def main(argv=None):
             ) as f:
                 json.dump(pg.get_state(), f)
         ltm = extract_long_term_object_map(
-            pg, config, bb_frontend.get_front_end_obj_map_data(), prev_ltm=prev_ltm
+            pg, config, bb_frontend.get_front_end_obj_map_data(),
+            prev_ltm=prev_ltm, caps=runner.caps_pool("global"),
         )
         if ltm is not None:
             ltm.save(args.long_term_map_output)

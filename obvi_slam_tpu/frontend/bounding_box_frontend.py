@@ -148,6 +148,12 @@ class FeatureBasedBoundingBoxFrontEnd:
         self.dtype = dtype
 
         self.pending: List[PendingObject] = []
+        # Session capacity pool for the pending mini-BA (same role as the
+        # runner's caps pools): every mini-BA dimension is bucketed and
+        # max-accumulated here so the solve's jit signature stabilizes after
+        # the first few calls instead of recompiling per pending-set shape
+        # (~15 s per fresh signature through the remote-TPU tunnel).
+        self._mini_ba_caps: Dict[str, int] = {}
         # obj_id -> frame -> cam -> set(feature_ids)
         self.object_appearance: Dict[int, Dict[int, Dict[int, Set[int]]]] = {}
         # Restore LTM appearance payload (empty for the feature-based frontend,
@@ -407,8 +413,18 @@ class FeatureBasedBoundingBoxFrontEnd:
             {obs.frame_id for idx in targets for obs in self.pending[idx].observations}
         )
         pose_row_of = {f: i for i, f in enumerate(frames)}
-        poses = np.stack([self.pg.robot_poses[f] for f in frames])
-        objects = np.stack([self.pending[idx].object_estimate for idx in targets])
+        # Bucketed + session-monotone capacities: padding rows are zeros with
+        # free=False and no factor references them, so results are identical
+        # while the jit signature stays stable across pending-set shapes.
+        caps = self._mini_ba_caps
+        n_pose_cap = max(caps.get("n_pose", 0), _bucket(len(frames), minimum=8))
+        n_obj_cap = max(caps.get("n_obj", 0), _bucket(len(targets), minimum=4))
+        poses = np.zeros((n_pose_cap, 6))
+        poses[: len(frames)] = np.stack([self.pg.robot_poses[f] for f in frames])
+        objects = np.zeros((n_obj_cap, 7))
+        objects[: len(targets)] = np.stack(
+            [self.pending[idx].object_estimate for idx in targets]
+        )
         obj_row_of = {idx: i for i, idx in enumerate(targets)}
 
         bb_obj, bb_pose, bb_cam, bb_corners, bb_si = [], [], [], [], []
@@ -440,13 +456,15 @@ class FeatureBasedBoundingBoxFrontEnd:
             sp_mean.append(mean)
             sp_si.append(np.real(scipy.linalg.sqrtm(np.linalg.inv(cov))))
 
+        bb_cap = max(caps.get("bbox", 0), _bucket(len(bb_obj)))
+        sh_cap = max(caps.get("shape", 0), _bucket(len(sp_obj), 4))
         tables = T.empty_factor_tables(dtype=self.dtype)._replace(
             bbox=T.make_bounding_box_factors(
                 bb_obj, bb_pose, bb_cam, bb_corners, bb_si,
-                capacity=_bucket(len(bb_obj)), dtype=self.dtype,
+                capacity=bb_cap, dtype=self.dtype,
             ),
             shape=T.make_shape_prior_factors(
-                sp_obj, sp_mean, sp_si, capacity=_bucket(len(sp_obj), 4), dtype=self.dtype
+                sp_obj, sp_mean, sp_si, capacity=sh_cap, dtype=self.dtype
             ),
         )
         state = T.BAState(
@@ -454,28 +472,69 @@ class FeatureBasedBoundingBoxFrontEnd:
             points=jnp.zeros((1, 3), dtype=self.dtype),
             objects=jnp.asarray(objects.astype(self.dtype)),
         )
+        obj_free = np.zeros(n_obj_cap, dtype=bool)
+        obj_free[: len(targets)] = True
         free = T.FreeMasks(
-            poses=jnp.zeros(len(frames), dtype=bool),
+            poses=jnp.zeros(n_pose_cap, dtype=bool),
             points=jnp.zeros(1, dtype=bool),
-            objects=jnp.ones(len(targets), dtype=bool),
+            objects=jnp.asarray(obj_free),
         )
+        plan_caps = {
+            k: caps[k]
+            for k in ("ob_pair", "ob_cross", "ob_dest", "ob_slot_land",
+                      "ob_slot_c")
+            if k in caps
+        }
         plan = slv.build_schur_plan_host(
-            [], [], tables.reproj.capacity, bb_pose, bb_obj, tables.bbox.capacity
+            [], [], tables.reproj.capacity, bb_pose, bb_obj,
+            tables.bbox.capacity, plan_caps or None, n_pose=n_pose_cap,
+        )
+        caps.update(
+            {
+                "n_pose": n_pose_cap,
+                "n_obj": n_obj_cap,
+                "bbox": bb_cap,
+                "shape": sh_cap,
+                "ob_pair": max(
+                    caps.get("ob_pair", 0), plan.ob_pair_pose.shape[0]
+                ),
+                "ob_cross": max(
+                    caps.get("ob_cross", 0), plan.ob_cross_a.shape[0]
+                ),
+                "ob_dest": max(
+                    caps.get("ob_dest", 0), plan.ob_dest_a.shape[0]
+                ),
+                "ob_slot_land": max(
+                    caps.get("ob_slot_land", 0), plan.ob_slot_gather.shape[0]
+                ),
+                "ob_slot_c": max(
+                    caps.get("ob_slot_c", 0), plan.ob_slot_gather.shape[1]
+                ),
+            }
         )
         huber = slv.schur.HuberParams(
             bbox=est_params.object_residual_params.object_observation_huber_loss_param,
             shape=est_params.object_residual_params.shape_dim_prior_factor_huber_loss_param,
             invalid_ellipse_error=est_params.object_residual_params.invalid_ellipsoid_error_val,
         )
-        new_state, est_summary = slv.solve(
-            state,
-            cams,
-            tables,
-            plan,
-            free,
-            params=lm_params_from_config(est_params.solver_params),
-            huber=huber,
-        )
+        import jax
+
+        lm_params = lm_params_from_config(est_params.solver_params)
+        if jax.default_backend() != "cpu":
+            # Fused on-device loop: the host LM loop dispatches per
+            # iteration, which through the remote-TPU tunnel costs ~30-50 ms
+            # per round trip x ~30 iterations per mini-BA.
+            from obvi_slam_tpu.solver import lm_fused
+
+            new_state, est_summary = lm_fused.solve_fused(
+                state, cams, tables, plan, free,
+                params=lm_params, huber=huber,
+            )
+        else:
+            new_state, est_summary = slv.solve(
+                state, cams, tables, plan, free,
+                params=lm_params, huber=huber,
+            )
         from obvi_slam_tpu import optlog
 
         optlog.IterationLoggerFactory.instance().log_iterations(

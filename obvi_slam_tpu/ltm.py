@@ -172,10 +172,17 @@ def extract_long_term_object_map(
     front_end_data: Optional[Dict[int, dict]] = None,
     prev_ltm: Optional[LongTermObjectMap] = None,
     dtype=np.float64,
+    caps: Optional[dict] = None,
 ) -> Optional[LongTermObjectMap]:
-    """extractLongTermObjectMap (long_term_object_map_extraction.h:433-527)."""
+    """extractLongTermObjectMap (long_term_object_map_extraction.h:433-527).
+
+    ``caps``: session capacity pool (the runner's "global" pool) so the
+    extraction problem shares the session's presized jit signature — the
+    marginal-covariance program can then be pre-compiled during the online
+    phase instead of cold-compiling (~4 min through the remote-TPU tunnel)
+    at the end of the run."""
     with timer("ltm_extraction"):
-        ltm = _extract(pg, config, front_end_data, dtype)
+        ltm = _extract(pg, config, front_end_data, dtype, caps)
     if ltm is None:
         if (
             config.ltm_tunable_params.fallback_to_prev_for_failed_extraction
@@ -185,6 +192,65 @@ def extract_long_term_object_map(
             return prev_ltm
         return None
     return ltm
+
+
+def _extraction_scope(max_frame, config) -> Scope:
+    """The extraction problem's scope (extraction.cpp:68-79): whole
+    trajectory, shape priors excluded, LTM objects force-included."""
+    en = config.optimization_factors_enabled_params
+    return Scope(
+        min_frame_id=0,
+        max_frame_id=max_frame,
+        include_object_factors=True,
+        include_visual_factors=True,
+        poses_prior_to_window_to_keep_constant=en.poses_prior_to_window_to_keep_constant,
+        min_object_observations=en.min_object_observations,
+        min_low_level_feature_observations=en.min_low_level_feature_observations,
+        min_low_level_feature_observations_per_frame=en.min_low_level_feature_observations_per_frame,
+        force_include_ltm_objs=True,
+        include_shape_priors=False,  # extraction.cpp:68-69
+    )
+
+
+def warm_marginal_covariance_program(pg, config, caps, dtype=np.float64):
+    """Prepare an ahead-of-time compile of the extraction's
+    marginal-covariance program at the presized session signature.
+
+    Returns a zero-arg callable meant for a background thread at session
+    START (the CLI does this): with the caps pool presized from raw session
+    counts (runner.presize_session_caps) the end-of-session extraction
+    problem's shapes are already known, so a zero-row dummy problem built at
+    those capacities compiles the IDENTICAL program. The extraction then
+    hits the in-process jit cache instead of cold-compiling through the
+    remote-TPU tunnel after the whole run (259 s of the 557 s
+    object-pipeline bench in r4).
+
+    The dummy problem is built HERE, on the caller's thread (the pose graph
+    is mutated by the frame loop and must not be read concurrently); the
+    returned callable touches only its own arrays and the jax compile
+    caches, so it is safe to run concurrently with the optimization loop."""
+    problem = build_problem(
+        pg,
+        _extraction_scope(max(pg.max_frame_id(), 0), config),
+        config.ltm_solver_residual_params,
+        dtype=dtype,
+        caps=caps,
+    )
+
+    def compile_now():
+        covs, h_diag, ok, _ = slv.schur.compute_marginal_covariances(
+            problem.state,
+            problem.cams,
+            problem.tables,
+            problem.plan,
+            problem.free,
+            problem.weights,
+            problem.huber,
+            return_reduced_hessian=True,
+        )
+        bool(ok)  # fence: force execution so the compile fully lands
+
+    return compile_now
 
 
 def _ensure_psd_covs(covs, red_h, n_pose, min_col_norm):
@@ -232,7 +298,7 @@ def _ensure_psd_covs(covs, red_h, n_pose, min_col_norm):
     return out
 
 
-def _extract(pg, config, front_end_data, dtype):
+def _extract(pg, config, front_end_data, dtype, caps=None):
     max_frame = pg.max_frame_id()
     if max_frame < 0 or not pg.objects:
         return LongTermObjectMap(
@@ -243,21 +309,9 @@ def _extract(pg, config, front_end_data, dtype):
             front_end_data=front_end_data or {},
         )
 
-    en = config.optimization_factors_enabled_params
-    scope = Scope(
-        min_frame_id=0,
-        max_frame_id=max_frame,
-        include_object_factors=True,
-        include_visual_factors=True,
-        poses_prior_to_window_to_keep_constant=en.poses_prior_to_window_to_keep_constant,
-        min_object_observations=en.min_object_observations,
-        min_low_level_feature_observations=en.min_low_level_feature_observations,
-        min_low_level_feature_observations_per_frame=en.min_low_level_feature_observations_per_frame,
-        force_include_ltm_objs=True,
-        include_shape_priors=False,  # extraction.cpp:68-69
-    )
+    scope = _extraction_scope(max_frame, config)
     problem = build_problem(
-        pg, scope, config.ltm_solver_residual_params, dtype=dtype
+        pg, scope, config.ltm_solver_residual_params, dtype=dtype, caps=caps
     )
 
     # Far-feature filter: zero the weights of their reprojection factors.

@@ -204,6 +204,116 @@ class OfflineProblemRunner:
         return self._caps_pools.setdefault(key, {})
 
     # ------------------------------------------------------------------
+    def _window_caps_seed(self, data: OfflineProblemData, lo: int, hi: int):
+        """Raw-count caps upper bound for a window of frames [lo, hi].
+
+        Bounds what build_problem can produce for any scope over those
+        frames: the frontend only ADMITS observations present in the raw
+        data, so raw counts dominate every table/plan size. Objects are the
+        one frontend-created quantity — bounded by raw bounding boxes /
+        min_observations (the association gate). Under-estimates are safe:
+        caps are monotone minimums, the actual window always wins (at the
+        cost of one extra jit signature)."""
+        from obvi_slam_tpu.solver.problem import _bucket
+        from obvi_slam_tpu.solver.schur import _BAND_TP, _round_up
+
+        obs = pairs = cross = feats = 0
+        max_frames_per_track = 0
+        tile_counts: Dict[int, int] = {}
+        band_ok = True
+        for track in data.feature_tracks.values():
+            frames_in = [f for f in track if lo <= f <= hi]
+            if not frames_in:
+                continue
+            feats += 1
+            nf = len(frames_in)
+            pairs += nf
+            cross += nf * nf
+            max_frames_per_track = max(max_frames_per_track, nf)
+            obs += sum(len(track[f]) for f in frames_in)
+            # Banded-gram home tiles (pose row == frame - lo for contiguous
+            # global windows; local windows never reach band scale).
+            fr0, fr1 = min(frames_in) - lo, max(frames_in) - lo
+            home = fr0 // _BAND_TP
+            tile_counts[home] = tile_counts.get(home, 0) + 1
+            if fr1 - home * _BAND_TP >= 2 * _BAND_TP:
+                band_ok = False
+
+        bbs = 0
+        for f, by_cam in getattr(data, "bounding_boxes", {}).items():
+            if lo <= f <= hi:
+                bbs += sum(len(v) for v in by_cam.values())
+        n_frames = hi - lo + 1
+        pose_cap = _bucket(n_frames + 1, minimum=8)
+
+        seed = {
+            "reproj": _bucket(max(obs, 1)),
+            "bbox": _bucket(max(bbs, 1)),
+            "shape": _bucket(16),
+            "ltm": _bucket(16),
+            "relpose": _bucket(n_frames + 1),
+            "n_pose": pose_cap,
+            "n_point": _bucket(max(feats, 1)),
+            "pt_pair": _round_up(pairs),
+            "pt_cross": _round_up(cross),
+            "pt_dest": _round_up(min(cross, (n_frames + 1) ** 2)),
+            "pt_slot_land": _round_up(feats),
+            "pt_slot_c": _round_up(max_frames_per_track, bucket=4),
+            # Empty-table defaults (what a build with no bounding boxes /
+            # no banding produces) so even the key SET is stable from the
+            # first build.
+            "n_obj": _bucket(1, minimum=8),
+            "ob_pair": _round_up(0),
+            "ob_cross": _round_up(0),
+            "ob_dest": _round_up(0),
+            "ob_slot_land": _round_up(0),
+            "ob_slot_c": _round_up(0, bucket=4),
+            "pt_band_lg": 0,
+            "rel_band_lg": 0,
+        }
+        if bbs:
+            try:
+                min_obs = max(
+                    1,
+                    int(
+                        self.config.bounding_box_front_end_params
+                        .feature_based_bb_association_params.min_observations
+                    ),
+                )
+            except AttributeError:
+                min_obs = 1
+            n_obj = max(1, bbs // min_obs)
+            # One-object worst case for the per-object cross pairs, capped
+            # by each object being seen at most once per frame per camera.
+            ob_cross = min(bbs * bbs, bbs * (n_frames + 1))
+            seed.update(
+                {
+                    "n_obj": _bucket(n_obj, minimum=8),
+                    "ob_pair": _round_up(bbs),
+                    "ob_cross": _round_up(ob_cross),
+                    "ob_dest": _round_up(min(ob_cross, (n_frames + 1) ** 2)),
+                    "ob_slot_land": _round_up(n_obj),
+                    "ob_slot_c": _round_up(
+                        min(bbs, n_frames + 1), bucket=4
+                    ),
+                    "shape": _bucket(n_obj),
+                }
+            )
+        if pose_cap >= 3 * _BAND_TP and band_ok and tile_counts:
+            # Banded layouts engage at this pose capacity: seed the group
+            # sizes so the first banded build matches the session high water
+            # (Lg buckets at 128-row steps, rel band <= 64 relpose + 64
+            # diagonal rows per tile; see schur._band_layout).
+            seed["pt_band_lg"] = -(-max(tile_counts.values()) // 128) * 128
+            seed["rel_band_lg"] = 128
+        return seed
+
+    def _seed_pool(self, key: str, seed: dict) -> dict:
+        pool = self.caps_pool(key)
+        for k, v in seed.items():
+            pool[k] = max(pool.get(k, 0), int(v))
+        return pool
+
     def presize_local_caps(self, data: OfflineProblemData):
         """Seed the local-BA caps pool from the first full window's RAW
         observation counts (an upper bound on what the frontend admits).
@@ -216,42 +326,52 @@ class OfflineProblemRunner:
         [0..W] collapses that to ~1 (later windows can still grow it —
         capacities stay monotone minimums, results are identical because
         padding rows are masked)."""
-        from obvi_slam_tpu.solver.problem import _bucket
-        from obvi_slam_tpu.solver.schur import _round_up
-
         w = self.config.sliding_window_params.local_ba_window_size
-        obs = pairs = cross = feats = 0
-        max_frames_per_track = 0
-        for track in data.feature_tracks.values():
-            frames_in = [f for f in track if f <= w]
-            if not frames_in:
-                continue
-            feats += 1
-            nf = len(frames_in)
-            pairs += nf
-            cross += nf * nf
-            max_frames_per_track = max(max_frames_per_track, nf)
-            obs += sum(len(track[f]) for f in frames_in)
-        bbs = 0
-        for f, by_cam in getattr(data, "bounding_boxes", {}).items():
-            if f <= w:
-                bbs += sum(len(v) for v in by_cam.values())
-        pool = self.caps_pool("local")
-        seed = {
-            "reproj": _bucket(obs),
-            "bbox": _bucket(max(bbs, 1)),
-            "relpose": _bucket(w + 2),
-            "n_pose": _bucket(w + 2, minimum=8),
-            "n_point": _bucket(max(feats, 1)),
-            "pt_pair": _round_up(pairs),
-            "pt_cross": _round_up(cross),
-            "pt_dest": _round_up(min(cross, (w + 2) ** 2)),
-            "pt_slot_land": _round_up(feats),
-            "pt_slot_c": _round_up(max_frames_per_track, bucket=4),
-        }
-        for k, v in seed.items():
-            pool[k] = max(pool.get(k, 0), int(v))
-        return pool
+        return self._seed_pool("local", self._window_caps_seed(data, 0, w))
+
+    def presize_session_caps(
+        self, data: OfflineProblemData, max_frame_id: Optional[int] = None
+    ):
+        """Seed EVERY session caps pool from raw whole-session counts so jit
+        signatures are stable from frame 1 (r5; extends presize_local_caps
+        to the global-BA family).
+
+        The growing global-BA windows (frames 0..F for every global-BA F)
+        otherwise mint ~10 signatures per 40-frame session (measured,
+        tools/caps_churn_probe.py) at 15-18 s of remote compile each. With
+        full-horizon seeding every global-family solve runs at final-session
+        capacity from the start — the padding compute this buys is ~0.5 s
+        per early window at 10^3-frame scale, vs a compile per window
+        without it. Pools seeded: local (first window), global, and — when
+        the PGO-on-global-BA path is enabled — pgo / pgo_vf / pgo_tracking
+        (same horizon; pgo relpose factors are the synthesized consecutive
+        chain, bounded by the same n_frames+1)."""
+        if max_frame_id is None:
+            max_frame_id = data.max_frame_id()
+        self.presize_local_caps(data)
+        session = self._window_caps_seed(data, 0, max_frame_id)
+        self._seed_pool("global", session)
+        en = self.config.optimization_factors_enabled_params
+        if (
+            en.use_pose_graph_on_global_ba
+            or en.use_pose_graph_on_final_global_ba
+        ):
+            self._seed_pool("pgo", session)
+            self._seed_pool("pgo_vf", session)
+            # Tracking solves span poses_prior_to_window_to_keep_constant+1
+            # frames anywhere in the session: bound with the max over a
+            # sliding scan of that width.
+            n_const = max(1, en.poses_prior_to_window_to_keep_constant)
+            track_seed: Dict[str, int] = {}
+            step = max(1, self.config.sliding_window_params.global_ba_frequency)
+            for f in range(0, max_frame_id + 1, step):
+                ws = self._window_caps_seed(
+                    data, max(0, f - n_const), min(f, max_frame_id)
+                )
+                for k, v in ws.items():
+                    track_seed[k] = max(track_seed.get(k, 0), v)
+            self._seed_pool("pgo_tracking", track_seed)
+        return self._caps_pools
 
     # ------------------------------------------------------------------
     def _sync_enabled(self) -> bool:
@@ -627,9 +747,21 @@ class OfflineProblemRunner:
                     r = np.asarray(res[res_key])[: len(rows)]
                     sq = np.sum(r * r, axis=1)
                     live = np.nonzero(w > 0)[0]
-                    n_out = int(len(live) * iteration_params.feature_outlier_percentage)
+                    # Mirror the device pass exactly (solver/two_phase.py
+                    # _outlier_mask): stable sort over the same f32 keys and
+                    # the SAME f32 floor(n_live * pct) count, so host and
+                    # fused-device paths select identical exclusion sets
+                    # (ties and near-integer products included).
+                    n_out = int(
+                        np.floor(
+                            np.float32(len(live))
+                            * np.float32(
+                                iteration_params.feature_outlier_percentage
+                            )
+                        )
+                    )
                     if n_out > 0:
-                        worst = live[np.argsort(-sq[live])[:n_out]]
+                        worst = live[np.argsort(-sq[live], kind="stable")[:n_out]]
                         for i in worst:
                             excluded.add((ftype, int(rows[i])))
 
@@ -806,9 +938,9 @@ class OfflineProblemRunner:
             max_frame_id = min(lt.max_frame_id, max_frame_id)
 
         with timer("offline_runner_online_portion"):
-            # Collapse the growing-prefix windows' jit-signature churn
-            # (see presize_local_caps).
-            self.presize_local_caps(data)
+            # Collapse the growing-window jit-signature churn for every
+            # solve family (see presize_session_caps).
+            self.presize_session_caps(data, max_frame_id)
             if start_at_frame == 0 and add_data_for_starting_frame:
                 self.add_frame_data(data, pg, 0, 0)
 

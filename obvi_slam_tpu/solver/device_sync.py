@@ -94,19 +94,15 @@ class DeviceSync:
         self.last_detail: Dict[str, Tuple[str, int]] = {}
 
     # ------------------------------------------------------------------
-    def _bucket_for(self, key: str, n: int, commit: bool = True) -> int:
+    def _bucket_for(self, key: str, n: int) -> int:
         # Coarse (x4) monotone buckets: the applier layout includes every
         # leaf's bucket, so each growth step is a retrace — 16*4^k keeps
         # that to <=8 steps per leaf and in practice a handful of layouts
         # per session (analogous to the solver caps pools).
-        # ``commit=False`` probes without growing the stored bucket (a
-        # change that ends up on the full path must not inflate future
-        # delta paddings).
         b = self._bucket.get(key, 16)
         while b < n:
             b *= 4
-        if commit:
-            self._bucket[key] = b
+        self._bucket[key] = b
         return b
 
     @staticmethod
@@ -121,7 +117,14 @@ class DeviceSync:
         """Return ``tree`` with every array leaf replaced by its
         device-resident copy, after uploading only changed rows, packed
         into one idx buffer + one value buffer per dtype (one dispatch, a
-        handful of transfers)."""
+        handful of transfers).
+
+        Donation/invalidation contract: the applier DONATES the previous
+        device leaves (``donate_argnums=(0,)``), so device arrays returned
+        by an earlier ``sync`` of the same ``name`` are deleted by this
+        call. Callers (hooks, loggers, debuggers) must not retain arrays
+        from a prior synced Problem across windows — read them back with
+        ``jax.device_get`` before the next sync if a host copy is needed."""
         leaves, treedef = tree_flatten_with_path(tree)
         self.last_detail = {}
 

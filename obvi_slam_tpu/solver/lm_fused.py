@@ -57,6 +57,52 @@ class _Carry(NamedTuple):
     rec_accepted: jnp.ndarray
 
 
+class _StaticParams(NamedTuple):
+    """The LMParams bits that must stay in the jit signature: the
+    non-monotonic branch is Python control flow, and the per-iteration
+    record arrays are sized by rec_cap (= max_num_iterations when records
+    are on, else 1)."""
+
+    allow_non_monotonic_steps: bool
+    rec_cap: int
+
+
+# Packing order of the dynamic-parameter vector (see _split_params).
+_DYN_ORDER = (
+    "max_num_iterations",
+    "function_tolerance",
+    "gradient_tolerance",
+    "parameter_tolerance",
+    "initial_trust_region_radius",
+    "max_trust_region_radius",
+    "min_trust_region_radius",
+    "min_relative_decrease",
+    "max_consecutive_nonmonotonic_steps",
+)
+
+
+@functools.lru_cache(maxsize=256)
+def _split_params(params: LMParams, dtype_name: str, with_records: bool):
+    """LMParams -> (device dyn vector, static part).
+
+    Numeric fields ride as ONE cached device operand instead of jit static
+    args: distinct solver-parameter sets (local/global/final/PGO phases)
+    then share a single compiled program per problem signature — on the
+    remote-TPU tunnel every avoided signature is a 15-18 s compile
+    (ints stay exact in f32 up to 2^24; iteration counts are ≤ O(100))."""
+    import numpy as np
+
+    vec = np.array(
+        [float(getattr(params, f)) for f in _DYN_ORDER],
+        dtype=np.dtype(dtype_name),
+    )
+    statics = _StaticParams(
+        allow_non_monotonic_steps=bool(params.allow_non_monotonic_steps),
+        rec_cap=max(int(params.max_num_iterations), 1) if with_records else 1,
+    )
+    return jnp.asarray(vec), statics
+
+
 def _cost_fn(state, cams, tables, weights, huber):
     return fac.total_cost(
         state,
@@ -77,18 +123,24 @@ def _cost_fn(state, cams, tables, weights, huber):
 
 
 def _run_lm(
-    state, cams, tables, plan, free, weights, params: LMParams, huber,
-    dense_schur=None, with_records=False, shard_mesh=None,
+    state, cams, tables, plan, free, weights, dyn, statics: _StaticParams,
+    huber, dense_schur=None, with_records=False, shard_mesh=None,
 ):
     """The fused trust-region loop as a traceable function (shared by
-    solve_fused_jit and the fused two-phase program)."""
+    solve_fused_jit and the fused two-phase program). ``dyn`` is the
+    _DYN_ORDER parameter vector (a device operand, NOT a static arg — see
+    _split_params); ``statics`` carries the branch/shape bits."""
     dtype = state.poses.dtype
-    max_it = params.max_num_iterations
+    max_it = dyn[0].astype(jnp.int32)
+    func_tol, grad_tol, param_tol = dyn[1], dyn[2], dyn[3]
+    max_radius, min_radius = dyn[5], dyn[6]
+    min_rel_decrease = dyn[7]
+    max_consec_nm = dyn[8].astype(jnp.int32)
 
     def zero_records():
         # Static off-switch: the per-iteration record writes cost real time
         # in the while body; carry length-1 dummies when nobody reads them.
-        n = max(max_it, 1) if with_records else 1
+        n = statics.rec_cap if with_records else 1
         z = jnp.zeros((n,), dtype=dtype)
         return z, z, z, z, jnp.zeros((n,), dtype=bool)
 
@@ -97,7 +149,7 @@ def _run_lm(
     carry = _Carry(
         state=state,
         cost=init_cost,
-        radius=jnp.asarray(params.initial_trust_region_radius, dtype),
+        radius=dyn[4].astype(dtype),
         decrease_factor=jnp.asarray(2.0, dtype),
         it=jnp.asarray(0, jnp.int32),
         term=jnp.asarray(0, jnp.int32),
@@ -145,31 +197,29 @@ def _run_lm(
         cost_change = c.cost - new_cost
         valid_model = model_change > 0
         rho = jnp.where(valid_model, cost_change / jnp.maximum(model_change, 1e-300), -1.0)
-        if params.allow_non_monotonic_steps:
+        if statics.allow_non_monotonic_steps:
             hist_rho = (c.reference_cost - new_cost) / jnp.maximum(model_change, 1e-300)
             relative_decrease = jnp.maximum(rho, hist_rho)
         else:
             relative_decrease = rho
-        accepted = valid_model & (relative_decrease > params.min_relative_decrease)
+        accepted = valid_model & (relative_decrease > min_rel_decrease)
 
         # Radius update.
         shrink = c.radius / c.decrease_factor
         grow = jnp.minimum(
             c.radius / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
-            params.max_trust_region_radius,
+            max_radius,
         )
         new_radius = jnp.where(accepted, grow, shrink)
         new_decrease = jnp.where(accepted, 2.0, c.decrease_factor * 2.0)
 
         # Termination checks.
-        grad_conv = grad_max <= params.gradient_tolerance
-        func_conv = accepted & (
-            jnp.abs(cost_change) <= params.function_tolerance * c.cost
-        )
+        grad_conv = grad_max <= grad_tol
+        func_conv = accepted & (jnp.abs(cost_change) <= func_tol * c.cost)
         param_conv = accepted & (
-            step_norm <= params.parameter_tolerance * (x_norm + params.parameter_tolerance)
+            step_norm <= param_tol * (x_norm + param_tol)
         )
-        radius_conv = (~accepted) & (new_radius < params.min_trust_region_radius)
+        radius_conv = (~accepted) & (new_radius < min_radius)
         term = jnp.where(
             grad_conv,
             2,
@@ -179,7 +229,7 @@ def _run_lm(
         ).astype(jnp.int32)
 
         # Non-monotonic bookkeeping on accepted steps.
-        if params.allow_non_monotonic_steps:
+        if statics.allow_non_monotonic_steps:
             acc_cand = c.acc_candidate_changes + cost_change
             acc_ref = c.acc_reference_changes + cost_change
             better_candidate = new_cost < c.candidate_cost
@@ -187,7 +237,7 @@ def _run_lm(
             acc_cand = jnp.where(better_candidate, 0.0, acc_cand)
             monotonic = cost_change >= 0
             n_nm = jnp.where(monotonic, 0, c.num_consecutive_nonmonotonic + 1)
-            hit_limit = n_nm >= params.max_consecutive_nonmonotonic_steps
+            hit_limit = n_nm >= max_consec_nm
             ref_cost = jnp.where(
                 monotonic, new_cost, jnp.where(hit_limit, cand_cost, c.reference_cost)
             )
@@ -260,15 +310,32 @@ def _run_lm(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "params", "huber", "dense_schur", "with_records", "shard_mesh"
+        "statics", "huber", "dense_schur", "with_records", "shard_mesh"
     ),
 )
+def _solve_fused_core(
+    state, cams, tables, plan, free, weights, dyn, statics, huber,
+    dense_schur=None, with_records=False, shard_mesh=None,
+):
+    return _run_lm(
+        state, cams, tables, plan, free, weights, dyn, statics, huber,
+        dense_schur=dense_schur, with_records=with_records,
+        shard_mesh=shard_mesh,
+    )
+
+
 def solve_fused_jit(
     state, cams, tables, plan, free, weights, params: LMParams, huber,
     dense_schur=None, with_records=False, shard_mesh=None,
 ):
-    return _run_lm(
-        state, cams, tables, plan, free, weights, params, huber,
+    """Jit-cached fused solve. The numeric LMParams fields ride as a device
+    operand (_split_params), so distinct solver-parameter sets share one
+    compiled program per problem signature."""
+    dyn, statics = _split_params(
+        params, str(state.poses.dtype), with_records
+    )
+    return _solve_fused_core(
+        state, cams, tables, plan, free, weights, dyn, statics, huber,
         dense_schur=dense_schur, with_records=with_records,
         shard_mesh=shard_mesh,
     )
@@ -277,13 +344,13 @@ def solve_fused_jit(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "params1", "params2", "huber", "tp_cfg", "dense_schur",
+        "statics1", "statics2", "huber", "tp_cfg", "dense_schur",
         "with_records", "shard_mesh"
     ),
 )
-def solve_two_phase_jit(
+def _solve_two_phase_core(
     state, cams, tables, plan, free, weights, aux,
-    params1: LMParams, params2: LMParams, huber, tp_cfg,
+    dyn1, statics1, dyn2, statics2, huber, tp_cfg,
     dense_schur=None, with_records=False, shard_mesh=None,
 ):
     """The reference's whole two-phase window iteration as ONE XLA program:
@@ -296,7 +363,7 @@ def solve_two_phase_jit(
     from obvi_slam_tpu.solver import two_phase as tp_mod
 
     final1, init_cost1 = _run_lm(
-        state, cams, tables, plan, free, weights, params1, huber,
+        state, cams, tables, plan, free, weights, dyn1, statics1, huber,
         dense_schur=dense_schur, with_records=with_records,
         shard_mesh=shard_mesh,
     )
@@ -308,11 +375,27 @@ def solve_two_phase_jit(
         n_pose=state.poses.shape[0], n_point=state.points.shape[0],
     )
     final2, init_cost2 = _run_lm(
-        state, cams, tables, plan, free, weights2, params2, huber,
+        state, cams, tables, plan, free, weights2, dyn2, statics2, huber,
         dense_schur=dense_schur, with_records=with_records,
         shard_mesh=shard_mesh,
     )
     return final1, init_cost1, final2, init_cost2
+
+
+def solve_two_phase_jit(
+    state, cams, tables, plan, free, weights, aux,
+    params1: LMParams, params2: LMParams, huber, tp_cfg,
+    dense_schur=None, with_records=False, shard_mesh=None,
+):
+    dtype = str(state.poses.dtype)
+    dyn1, statics1 = _split_params(params1, dtype, with_records)
+    dyn2, statics2 = _split_params(params2, dtype, with_records)
+    return _solve_two_phase_core(
+        state, cams, tables, plan, free, weights, aux,
+        dyn1, statics1, dyn2, statics2, huber, tp_cfg,
+        dense_schur=dense_schur, with_records=with_records,
+        shard_mesh=shard_mesh,
+    )
 
 
 def solve_two_phase_fused(

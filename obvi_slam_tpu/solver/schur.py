@@ -24,6 +24,7 @@ capacities to keep jit signatures stable.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import NamedTuple
 
@@ -1577,6 +1578,12 @@ def compute_step(
         and cp_order
         and ob_slot_ok
         and _use_band_solve(n_pose)
+        # The block-tridiag solve reshapes S into (6, P/64, 64) tiles;
+        # pipeline pose capacities are powers of two so auto mode always
+        # satisfies this, but OBVI_BAND_SOLVE=on with a non-multiple-of-64
+        # capacity must fall back to the dense solve instead of dying in an
+        # opaque reshape trace error.
+        and n_pose % _BAND_TP == 0
         and plan.rel_band_local_pose is not None
         and plan.ob_slot_gather.shape[0] * 7 <= 3 * n_pose
         # Profile stops that are path-identical (or band-specific) keep the
@@ -2199,9 +2206,29 @@ def compute_marginal_covariances(
     remaining blocks equal the inverse of the sub-Hessian with fixed params
     removed — matching Ceres' constant-parameter-block covariance semantics.
 
+    The whole computation runs as ONE jitted program (r5): eager per-primitive
+    dispatch through the remote-TPU tunnel cost ~30-50 ms per op and made LTM
+    extraction the single slowest phase of the object pipeline (259 s of a
+    557 s run, BENCH_r04); ``ridge`` rides as a device operand so repair
+    retries share the compiled program.
+
     Returns (obj_covariances (K,7,7), h_diag dict with per-block-type Jacobian
     column squared-norms for rank-deficiency detection, ok flag).
     """
+    dtype = state.poses.dtype
+    return _marginal_cov_jit(
+        state, cams, tables, plan, free, weights,
+        jnp.asarray(ridge, dtype), huber, return_reduced_hessian,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("huber", "return_reduced_hessian")
+)
+def _marginal_cov_jit(
+    state, cams, tables, plan, free, weights, ridge, huber,
+    return_reduced_hessian,
+):
     dtype = state.poses.dtype
     n_pose = state.poses.shape[0]
     n_point = state.points.shape[0]

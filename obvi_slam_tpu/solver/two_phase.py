@@ -58,10 +58,11 @@ class TwoPhaseAux(NamedTuple):
 
 def _outlier_mask(sq, live, pct):
     """Worst-``pct`` live rows by squared residual, host-identical:
-    stable argsort of -sq over live rows, exclude ranks < floor(n_live*pct)
-    (numpy and jnp argsort are both stable and rank the same f32 keys the
-    host read back, so the selected set matches the host pass exactly,
-    ties included)."""
+    stable argsort of -sq over live rows, exclude ranks < floor(n_live*pct).
+    The host pass (runner.py) mirrors BOTH conventions — kind='stable'
+    argsort over the same f32 keys and the same f32 floor(n_live*pct)
+    count — so the selected sets match exactly, ties and near-integer
+    products included."""
     neg = jnp.where(live, sq, -jnp.inf)
     order = jnp.argsort(-neg, stable=True)
     rank = jnp.zeros_like(order).at[order].set(

@@ -272,3 +272,79 @@ class TestShardedRunner:
             data, mesh=mesh, shard_local_ba=True, use_fused_solver=True
         )
         np.testing.assert_allclose(sharded, base, rtol=1e-6, atol=1e-8)
+
+
+class TestCapsPresize:
+    """The whole presize scheme (runner.presize_session_caps) rests on one
+    invariant: capacity padding rows are masked everywhere, so a problem
+    built at LARGER capacities is the same numeric computation. These tests
+    pin that invariant at the trajectory level, plus the growth path when a
+    session's later windows exceed the seed."""
+
+    def _run(self, data, presize_mode):
+        config = small_config()
+        runner = OfflineProblemRunner(config)
+        if presize_mode == "off":
+            runner.presize_session_caps = lambda *a, **k: runner._caps_pools
+        elif presize_mode == "tiny":
+            # Deliberate under-seed: horizon 3 of a 12-frame session, so
+            # nearly every later window EXCEEDS the seed and takes the pool
+            # growth path (dense late-arriving tracks in production).
+            def tiny(d, max_frame_id=None):
+                runner._seed_pool("local", runner._window_caps_seed(d, 0, 3))
+                runner._seed_pool("global", runner._window_caps_seed(d, 0, 3))
+                return runner._caps_pools
+
+            runner.presize_session_caps = tiny
+        pg = PoseGraph(data.cameras)
+        vf = VisualFeatureFrontend(
+            gba_checker=lambda f: runner._gba_checker(f, data.max_frame_id()),
+            reprojection_error_provider=lambda *a: config.visual_feature_params.reprojection_error_std_dev,
+            min_parallax_pixel=config.visual_feature_params.min_visual_feature_parallax_pixel_requirement,
+            inlier_epipolar_err_thresh=config.visual_feature_params.inlier_epipolar_err_thresh,
+            check_past_n_frames=config.visual_feature_params.check_past_n_frames_for_epipolar_err,
+        )
+        assert runner.run_optimization(data, pg, visual_frontend=vf)
+        est = np.stack(
+            [pg.get_robot_pose(i) for i in range(data.max_frame_id() + 1)]
+        )
+        return est, runner
+
+    # Bit-identity is impossible across capacities — XLA tiles reductions
+    # differently per shape, reordering f64 sums — so "identical" means
+    # agreement at accumulated-roundoff level (observed max 1e-15 abs /
+    # 8e-14 rel on this fixture; the bound below is 1000x that).
+
+    def test_presized_matches_unpresized(self, presize_sessions):
+        est_presized, est_off, _ = presize_sessions
+        np.testing.assert_allclose(
+            est_presized, est_off, rtol=1e-10, atol=1e-12
+        )
+
+    def test_seed_exceeded_growth_path_matches(self, presize_sessions):
+        est_presized, _, (est_tiny, runner_tiny) = presize_sessions
+        # The tiny seed MUST have been exceeded (growth path exercised)...
+        pool = runner_tiny.caps_pool("global")
+        tiny_seed = runner_tiny._window_caps_seed(
+            presize_sessions.data, 0, 3
+        )
+        grew = [k for k, v in tiny_seed.items() if pool.get(k, 0) > v]
+        assert grew, "expected the session to outgrow the tiny seed"
+        # ...and the trajectory must still match the fully presized run.
+        np.testing.assert_allclose(
+            est_tiny, est_presized, rtol=1e-10, atol=1e-12
+        )
+
+    @pytest.fixture(scope="class")
+    def presize_sessions(self):
+        data, gt_poses, _ = make_session()
+        est_presized, _ = self._run(data, "normal")
+        est_off, _ = self._run(data, "off")
+        tiny = self._run(data, "tiny")
+
+        class R(tuple):
+            pass
+
+        out = R((est_presized, est_off, tiny))
+        out.data = data
+        return out

@@ -39,10 +39,11 @@ def triangulate(track, poses, k_inv):
     return x[:3] / max(abs(x[3]), 1e-12) * np.sign(x[3] if x[3] != 0 else 1)
 
 
-@pytest.fixture(scope="module")
-def tum_session():
+def load_tum_session(max_frames=N_FRAMES):
+    """Build the (OfflineProblemData, gt_poses) pair for the TUM minimum
+    slice — shared by the module fixture, bench_e2e, and diagnostics."""
     gt_poses, tracks, timestamps = read_tum_consecutive_matching(
-        TUM_DIR, max_frames=N_FRAMES
+        TUM_DIR, max_frames=max_frames
     )
     cameras = {1: CameraInfo(K, np.eye(3), np.zeros(3))}
     k_inv = np.linalg.inv(K)
@@ -85,6 +86,11 @@ def tum_session():
         bounding_boxes={},
     )
     return data, gt_poses
+
+
+@pytest.fixture(scope="module")
+def tum_session():
+    return load_tum_session()
 
 
 def tum_config():
