@@ -274,39 +274,12 @@ def speed_of_light(problem, measured_iter_s):
     return table
 
 
-def _multi_run_e2e(script, script_args, timeout_s, max_runs=3):
-    """Run an e2e subprocess tier up to ``max_runs`` times within
-    ``timeout_s`` and report cold/warm/median fps (VERDICT r4 #7: the remote
-    service's 4x run-to-run wall-clock variance makes single-run e2e numbers
-    unfalsifiable). Run 1 is the cold-ish run (persistent-cache loads);
-    later runs are warm. ``frames_per_s`` is the MEDIAN across runs; the
-    phase/upload detail kept is from the LAST (warmest) run."""
-    deadline = time.monotonic() + timeout_s
-    runs, result = [], None
-    for i in range(max_runs):
-        budget = deadline - time.monotonic()
-        if i > 0 and (not runs or budget < 1.3 * runs[-1]["wall_s"] + 15):
-            break
-        out = Path(tempfile.mkdtemp()) / "e2e.json"
-        try:
-            subprocess.run(
-                [sys.executable, str(script), "--json_out", str(out)]
-                + list(script_args),
-                timeout=max(budget, 30),
-                check=True,
-                capture_output=True,
-            )
-            with open(out) as f:
-                result = json.load(f)
-            runs.append(
-                {"fps": result["frames_per_s"], "wall_s": result["wall_s"]}
-            )
-        except Exception as e:  # timeout, nonzero exit, missing fixture dir
-            if result is None:
-                return {"error": type(e).__name__}
-            break
-    if result is None:
-        return {"error": "no_runs"}
+def _annotate_runs(result, runs):
+    """Attach cold/warm/median fps fields (VERDICT r4 #7: the remote
+    service's 4x run-to-run wall-clock variance makes single-run e2e
+    numbers unfalsifiable). Run 1 is the cold run; later runs see warm
+    caches — the number a long-lived deployment (the reference's operating
+    mode) sees per session. ``frames_per_s`` is the MEDIAN across runs."""
     fps = sorted(r["fps"] for r in runs)
     result.update(
         {
@@ -322,23 +295,52 @@ def _multi_run_e2e(script, script_args, timeout_s, max_runs=3):
 
 
 def e2e_bench(timeout_s, extra_args=()):
-    """TUM e2e tier (frames/s + reference-named phase table), median-of-N."""
-    return _multi_run_e2e(
-        Path(__file__).parent / "tools" / "bench_e2e.py",
-        ["--frames", "40"] + list(extra_args),
-        timeout_s,
-    )
+    """TUM e2e tier: ONE subprocess, THREE in-process session repeats
+    (cold process, then warm jit caches — both backends get the same
+    treatment; the reference's Ceres has no compile step so its cold ==
+    warm). Reports cold/warm/median fps + the phase table."""
+    out = Path(tempfile.mkdtemp()) / "e2e.json"
+    try:
+        subprocess.run(
+            [
+                sys.executable,
+                str(Path(__file__).parent / "tools" / "bench_e2e.py"),
+                "--frames", "40", "--repeat", "3", "--json_out", str(out),
+            ]
+            + list(extra_args),
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+        with open(out) as f:
+            result = json.load(f)
+    except Exception as e:  # timeout, nonzero exit, missing fixture dir
+        return {"error": type(e).__name__}
+    return _annotate_runs(result, result["repeats"])
 
 
 def e2e_objects_bench(timeout_s):
     """Full object-pipeline tier (bb frontend, pending mini-BA, joint BA,
     two-phase, PGO, merge loop, LTM extraction) via the main CLI — the
-    reference workload (offline_object_visual_slam_main.cpp:659-1106)."""
-    return _multi_run_e2e(
-        Path(__file__).parent / "tools" / "bench_e2e_objects.py",
-        ["--frames", "30"],
-        timeout_s,
-    )
+    reference workload (offline_object_visual_slam_main.cpp:659-1106).
+    One subprocess, three in-process session repeats (cold, then warm)."""
+    out = Path(tempfile.mkdtemp()) / "e2e_objects.json"
+    try:
+        subprocess.run(
+            [
+                sys.executable,
+                str(Path(__file__).parent / "tools" / "bench_e2e_objects.py"),
+                "--frames", "30", "--repeat", "3", "--json_out", str(out),
+            ],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+        with open(out) as f:
+            result = json.load(f)
+    except Exception as e:
+        return {"error": type(e).__name__}
+    return _annotate_runs(result, result["repeats"])
 
 
 def scale_1024_bench(device):

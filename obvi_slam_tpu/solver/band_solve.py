@@ -242,40 +242,17 @@ def block_tridiag_matvec(d_tiles, e_tiles, x):
     return out
 
 
-def woodbury_band_solve(d_tiles, e_tiles, z, rhs, n_refine=1):
-    """Solve (B - Z^T Z) x = rhs with B block-tridiagonal PD.
+def _woodbury_from_bsolve(b_solve, d_tiles, e_tiles, z, rhs, n_refine,
+                          matvec=None):
+    """Woodbury correction + iterative refinement given a B-solver.
 
-    ``z``: (rz, nb*m) low-rank factor rows in the SAME flattened tile order
-    as rhs; ``rhs``: (nb*m,). Returns (x, finite_ok) where x is the solution
-    flattened back to (nb*m,). ``n_refine`` steps of iterative refinement
-    reuse the factorization (the f32 accuracy recovery the dense path gets
-    from its refinement step).
-    """
+    Shared tail of woodbury_band_solve and dd_woodbury_band_solve:
+    ``b_solve`` maps (nb*m, k) -> (nb*m, k) solving B v = rhs for the
+    block-tridiagonal part. ``matvec`` optionally overrides the B x
+    product used by refinement (the DD path supplies a domain-local one)."""
     nb, m, _ = d_tiles.shape
     rz = z.shape[0]
     dtype = d_tiles.dtype
-
-    # Cyclic reduction for deep bands (log2(nb) batched stages instead of
-    # nb sequential scan steps — the scan is latency-bound at ~100 us/step
-    # through the fused program); the scan path stays for shallow bands
-    # where its lower FLOP count wins.
-    use_cr = _use_cyclic_reduction(nb)
-    if use_cr:
-        cr = cr_factor(d_tiles, e_tiles)
-
-        def b_solve(v_flat_cols):
-            k = v_flat_cols.shape[-1]
-            v = v_flat_cols.reshape(nb, m, k)
-            return cr_solve(cr, v).reshape(nb * m, k)
-
-    else:
-        l_d, l_e = block_tridiag_cholesky(d_tiles, e_tiles)
-
-        def b_solve(v_flat_cols):
-            # v: (nb*m, k) -> (nb, m, k) -> solve -> back.
-            k = v_flat_cols.shape[-1]
-            v = v_flat_cols.reshape(nb, m, k)
-            return block_tridiag_solve(l_d, l_e, v).reshape(nb * m, k)
 
     # ONE band traversal for rhs + Z together: the scans are sequential over
     # tiles (latency-bound on TPU), so extra right-hand sides ride along for
@@ -299,9 +276,12 @@ def woodbury_band_solve(d_tiles, e_tiles, z, rhs, n_refine=1):
         return s_correct(b_solve(r_flat[:, None])[:, 0])
 
     def s_matvec(x):
-        bx = block_tridiag_matvec(
-            d_tiles, e_tiles, x.reshape(nb, m, 1)
-        ).reshape(nb * m)
+        if matvec is not None:
+            bx = matvec(x)
+        else:
+            bx = block_tridiag_matvec(
+                d_tiles, e_tiles, x.reshape(nb, m, 1)
+            ).reshape(nb * m)
         return bx - jnp.matmul(
             z.T, jnp.matmul(z, x, precision=_P_HI), precision=_P_HI
         )
@@ -310,3 +290,191 @@ def woodbury_band_solve(d_tiles, e_tiles, z, rhs, n_refine=1):
     for _ in range(n_refine):
         x = x + s_solve(rhs - s_matvec(x))
     return x
+
+
+def woodbury_band_solve(d_tiles, e_tiles, z, rhs, n_refine=1):
+    """Solve (B - Z^T Z) x = rhs with B block-tridiagonal PD.
+
+    ``z``: (rz, nb*m) low-rank factor rows in the SAME flattened tile order
+    as rhs; ``rhs``: (nb*m,). Returns (x, finite_ok) where x is the solution
+    flattened back to (nb*m,). ``n_refine`` steps of iterative refinement
+    reuse the factorization (the f32 accuracy recovery the dense path gets
+    from its refinement step).
+    """
+    nb, m, _ = d_tiles.shape
+
+    # Cyclic reduction for deep bands (log2(nb) batched stages instead of
+    # nb sequential scan steps — the scan is latency-bound at ~100 us/step
+    # through the fused program); the scan path stays for shallow bands
+    # where its lower FLOP count wins.
+    use_cr = _use_cyclic_reduction(nb)
+    if use_cr:
+        cr = cr_factor(d_tiles, e_tiles)
+
+        def b_solve(v_flat_cols):
+            k = v_flat_cols.shape[-1]
+            v = v_flat_cols.reshape(nb, m, k)
+            return cr_solve(cr, v).reshape(nb * m, k)
+
+    else:
+        l_d, l_e = block_tridiag_cholesky(d_tiles, e_tiles)
+
+        def b_solve(v_flat_cols):
+            # v: (nb*m, k) -> (nb, m, k) -> solve -> back.
+            k = v_flat_cols.shape[-1]
+            v = v_flat_cols.reshape(nb, m, k)
+            return block_tridiag_solve(l_d, l_e, v).reshape(nb * m, k)
+
+    return _woodbury_from_bsolve(b_solve, d_tiles, e_tiles, z, rhs, n_refine)
+
+
+def dd_woodbury_band_solve(
+    d_tiles, e_tiles, z, rhs, n_domains, n_refine=1,
+    shard_mesh=None, shard_axis=None,
+):
+    """Trajectory-domain-decomposed Woodbury band solve (multi-host path).
+
+    Same system as woodbury_band_solve — (B - Z^T Z) x = rhs with B
+    block-tridiagonal PD — but B is partitioned into ``n_domains``
+    CONTIGUOUS runs of nb/n_domains pose tiles (substructuring / SPIKE):
+
+      - the FIRST tile of each domain is an INTERFACE tile; the rest are
+        that domain's INTERIOR (a smaller block-tridiagonal system with no
+        cross-domain coupling);
+      - interiors factor and solve BATCHED over the domain axis — under a
+        domain-axis sharding these ops are embarrassingly parallel, so each
+        host touches only its own tiles (the replicated CR path all-gathered
+        33.8 MB of level batches per iteration over DCN, SCALING_r04);
+      - the interface Schur complement S_G = B_GG - B_GI B_II^-1 B_IG is a
+        TINY block-tridiagonal system over the n_domains interface tiles
+        ((H, 384, 384) ~ 0.6 MB/host to combine) solved replicated;
+      - interiors back-substitute locally from their two interface values.
+
+    Cross-host traffic per solve: the S_G/interface-rhs combine + the
+    Woodbury C = I - Z Y psum (rz^2) + halo exchange in the refinement
+    matvec — all independent of trajectory length per host.
+
+    ``shard_mesh``/``shard_axis``: optional sharding constraints pinning the
+    domain axis to mesh devices (XLA then keeps interior work device-local
+    and inserts collectives only at the interface/C combines).
+    """
+    nb, m, _ = d_tiles.shape
+    h = int(n_domains)
+    if nb % h != 0 or nb // h < 2:
+        raise ValueError(
+            f"n_domains={h} needs nb % h == 0 and >=2 tiles/domain (nb={nb})"
+        )
+    nb_l = nb // h
+    dtype = d_tiles.dtype
+
+    def cst(x, axis=0):
+        if shard_mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = [None] * x.ndim
+        spec[axis] = shard_axis
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(shard_mesh, PartitionSpec(*spec))
+        )
+
+    d_dom = cst(d_tiles.reshape(h, nb_l, m, m))
+    e_pad = jnp.concatenate(
+        [e_tiles, jnp.zeros((1, m, m), dtype)], axis=0
+    )
+    # e_dom[d, j] = B[tile d*nb_l+j+1, tile d*nb_l+j]:
+    #   j=0         -> interface_d  -> its interior's first tile
+    #   j=1..nb_l-2 -> interior-internal couplings
+    #   j=nb_l-1    -> interior's last tile -> interface_{d+1} (zero pad for
+    #                  the last domain)
+    e_dom = cst(e_pad.reshape(h, nb_l, m, m))
+    d_if = d_dom[:, 0]
+    d_int = d_dom[:, 1:]
+    e_first = e_dom[:, 0]  # B[int_first_d, iface_d]
+    e_int = e_dom[:, 1 : nb_l - 1]
+    e_last = e_dom[:, nb_l - 1]  # B[iface_{d+1}, int_last_d]
+
+    fac = jax.vmap(cr_factor)(d_int, e_int)
+    bsolve_int = jax.vmap(cr_solve)
+
+    # Interface-column solves: Yf = B_int^-1 (E_f at first tile),
+    # Yl = B_int^-1 (E_l^T at last tile) — the B_IG columns of each
+    # domain's two neighboring interfaces.
+    ef_rhs = jnp.zeros((h, nb_l - 1, m, m), dtype).at[:, 0].set(e_first)
+    el_rhs = (
+        jnp.zeros((h, nb_l - 1, m, m), dtype)
+        .at[:, -1]
+        .set(jnp.swapaxes(e_last, -1, -2))
+    )
+    y_fl = bsolve_int(fac, cst(jnp.concatenate([ef_rhs, el_rhs], axis=-1)))
+    yf, yl = y_fl[..., :m], y_fl[..., m:]
+
+    # Interface Schur complement: block-tridiagonal over the h interface
+    # tiles. Right term via each domain's own interior, left term via the
+    # previous domain's interior (shifted), cross term couples consecutive
+    # interfaces through the interior between them.
+    c_right = jnp.matmul(
+        jnp.swapaxes(e_first, -1, -2), yf[:, 0], precision=_P_HI
+    )
+    c_left = jnp.matmul(e_last, yl[:, -1], precision=_P_HI)
+    sg_d = d_if - c_right
+    sg_d = sg_d.at[1:].add(-c_left[:-1])
+    sg_e = -jnp.matmul(e_last, yf[:, -1], precision=_P_HI)[: h - 1]
+    l_sd, l_se = block_tridiag_cholesky(sg_d, sg_e)
+
+    def b_solve(v_flat_cols):
+        k = v_flat_cols.shape[-1]
+        vd = cst(v_flat_cols.reshape(h, nb_l, m, k))
+        v_if = vd[:, 0]
+        v_int = vd[:, 1:]
+        u = bsolve_int(fac, v_int)  # (h, nb_l-1, m, k)
+        r_g = v_if - jnp.matmul(
+            jnp.swapaxes(e_first, -1, -2), u[:, 0], precision=_P_HI
+        )
+        r_g = r_g.at[1:].add(
+            -jnp.matmul(e_last[:-1], u[:-1, -1], precision=_P_HI)
+        )
+        g = block_tridiag_solve(l_sd, l_se, r_g)  # (h, m, k)
+        g_next = jnp.concatenate(
+            [g[1:], jnp.zeros((1, m, k), dtype)], axis=0
+        )
+        x_int = (
+            u
+            - jnp.matmul(yf, g[:, None], precision=_P_HI)
+            - jnp.matmul(yl, g_next[:, None], precision=_P_HI)
+        )
+        x = jnp.concatenate([g[:, None], x_int], axis=1)
+        return x.reshape(nb * m, k)
+
+    def dd_matvec(x_flat):
+        """B x with the domain layout: within-domain contributions are
+        batched and device-local; the cross-domain couplings touch only
+        each domain's boundary tiles (a halo exchange, not a tile-batch
+        all-gather — the replicated matvec forced XLA to re-gather the full
+        tile batch every refinement step)."""
+        xd = cst(x_flat.reshape(h, nb_l, m, 1))
+        out = jnp.matmul(d_dom, xd, precision=_P_HI)
+        e_in = e_dom[:, : nb_l - 1]
+        out = out.at[:, 1:].add(
+            jnp.matmul(e_in, xd[:, : nb_l - 1], precision=_P_HI)
+        )
+        out = out.at[:, : nb_l - 1].add(
+            jnp.matmul(
+                jnp.swapaxes(e_in, -1, -2), xd[:, 1:], precision=_P_HI
+            )
+        )
+        # Cross-domain couplings: e_dom[d, -1] links (d, last) <-> (d+1, 0).
+        out = out.at[1:, 0].add(
+            jnp.matmul(e_dom[:-1, -1], xd[:-1, -1], precision=_P_HI)
+        )
+        out = out.at[:-1, -1].add(
+            jnp.matmul(
+                jnp.swapaxes(e_dom[:-1, -1], -1, -2), xd[1:, 0],
+                precision=_P_HI,
+            )
+        )
+        return out.reshape(nb * m)
+
+    return _woodbury_from_bsolve(
+        b_solve, d_tiles, e_tiles, z, rhs, n_refine, matvec=dd_matvec
+    )

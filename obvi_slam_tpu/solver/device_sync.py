@@ -95,13 +95,16 @@ class DeviceSync:
 
     # ------------------------------------------------------------------
     def _bucket_for(self, key: str, n: int) -> int:
-        # Coarse (x4) monotone buckets: the applier layout includes every
-        # leaf's bucket, so each growth step is a retrace — 16*4^k keeps
-        # that to <=8 steps per leaf and in practice a handful of layouts
-        # per session (analogous to the solver caps pools).
+        # Coarse (x16) monotone buckets: the applier layout includes every
+        # leaf's bucket, so each growth step is a retrace + compile-cache
+        # load through the tunnel (~0.3-1.4 s each, measured r5) — 16*16^k
+        # keeps that to <=4 steps per leaf and ~3-4 layouts per session
+        # (x4 growth produced 9 layouts on a 16-frame TUM run). The padding
+        # upload this buys is bounded by the clamp at the leaf's row count
+        # in sync().
         b = self._bucket.get(key, 16)
         while b < n:
-            b *= 4
+            b *= 16
         self._bucket[key] = b
         return b
 

@@ -89,6 +89,37 @@ class TestWoodburyBandSolve:
         )
         np.testing.assert_allclose(x, np.linalg.solve(s, rhs), rtol=1e-8, atol=1e-8)
 
+    @pytest.mark.parametrize("nb,h", [(8, 2), (8, 4), (12, 3), (16, 8)])
+    def test_dd_matches_dense(self, nb, h):
+        """Domain-decomposed (substructured) solve == dense reference for
+        every domain split, including 2-tile domains (interior of 1 tile)."""
+        m = 8
+        d, e, dense = _random_block_tridiag(nb, m, seed=11 + nb + h)
+        rng = np.random.default_rng(12)
+        rz = 9
+        z = rng.normal(size=(rz, nb * m)) * 0.2
+        s = dense - z.T @ z
+        assert np.linalg.eigvalsh(s).min() > 0
+        rhs = rng.normal(size=nb * m)
+        x = np.asarray(
+            bs.dd_woodbury_band_solve(
+                jnp.asarray(d), jnp.asarray(e), jnp.asarray(z),
+                jnp.asarray(rhs), n_domains=h,
+            )
+        )
+        np.testing.assert_allclose(x, np.linalg.solve(s, rhs), rtol=1e-8, atol=1e-8)
+
+    def test_dd_rejects_bad_split(self):
+        m = 8
+        d, e, _ = _random_block_tridiag(6, m, seed=13)
+        z = np.zeros((1, 6 * m))
+        rhs = np.zeros(6 * m)
+        with pytest.raises(ValueError):
+            bs.dd_woodbury_band_solve(
+                jnp.asarray(d), jnp.asarray(e), jnp.asarray(z),
+                jnp.asarray(rhs), n_domains=4,
+            )
+
     def test_zero_rank_reduces_to_band(self):
         nb, m = 4, 8
         d, e, dense = _random_block_tridiag(nb, m, seed=7)

@@ -73,3 +73,114 @@ class TestShardedCollectives:
         by_op = collect_collectives(sharded_step_hlo)
         ar = all_reduce_bytes(by_op)
         assert 4e6 < ar < 40e6, ar
+
+
+class TestTrajectoryDomainDecomposition:
+    """r5: the multi-host band-solve path (band_solve.dd_woodbury_band_solve
+    — contiguous tile runs per device, interface Schur system + Woodbury C
+    as the only cross-device combines). SCALING_r04 found the replicated CR
+    path all-gathered 33.8 MB/iter at the 1,024-pose tier; the decomposed
+    path must (a) match the single-device step numerically and (b) not
+    reintroduce tile-batch all-gathers."""
+
+    @pytest.fixture(scope="class")
+    def band_problem(self, monkeypatch_class):
+        # 512 poses -> 8 band tiles; on the 8-device mesh _dd_domains picks
+        # 4 domains of 2 tiles. Band solve forced on below its 512-pose
+        # auto threshold via the env-read module gate.
+        from obvi_slam_tpu.solver import schur as schur_mod
+
+        monkeypatch_class.setattr(schur_mod, "_BAND_SOLVE_MIN_POSES", 256)
+        return synthetic_problem(
+            n_poses=512, n_points=4096, n_objects=16,
+            obs_per_point=6, obs_per_object=12, dtype=np.float32,
+        )
+
+    @pytest.fixture(scope="class")
+    def monkeypatch_class(self):
+        from _pytest.monkeypatch import MonkeyPatch
+
+        mp = MonkeyPatch()
+        yield mp
+        mp.undo()
+
+    @pytest.mark.slow
+    def test_dd_sharded_step_matches_single_device(self, band_problem):
+        from obvi_slam_tpu.solver import schur as schur_mod
+
+        mesh = par.make_mesh()
+        if mesh.devices.size < 8:
+            pytest.skip("needs 8 virtual devices")
+        state, _, cams, tables, plan, free, weights, huber = band_problem
+        assert plan.pt_band_local_pose is not None
+        assert plan.rel_band_local_pose is not None
+        radius = jnp.asarray(1e4, jnp.float32)
+
+        single = jax.jit(
+            lambda s, c, t, p, f, w, r: schur_mod.compute_step(
+                s, c, t, p, f, w, r, huber
+            )
+        )(state, cams, tables, plan, free, weights, radius)
+
+        step = par.sharded_compute_step(mesh)
+        sharded = step(
+            par.replicate(state, mesh),
+            par.replicate(cams, mesh),
+            par.shard_tables(tables, mesh),
+            par.shard_plan(plan, mesh),
+            par.replicate(free, mesh),
+            par.shard_weights(weights, mesh),
+            radius,
+            huber,
+        )
+        # Same numeric program up to the DD-vs-CR factorization's f32
+        # summation-order differences.
+        ref = np.asarray(single[0].poses, np.float64)
+        got = np.asarray(sharded[0].poses, np.float64)
+        rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-30)
+        assert rel < 5e-3, rel
+
+    @pytest.mark.slow
+    def test_dd_no_tile_batch_allgather(self, band_problem):
+        """The decomposed solve must not all-gather f32 tile-batch operands
+        (the r4 failure mode: the replicated CR path's multi-MB level-batch
+        all-gathers; the DD path's cross-domain traffic is halo
+        collective-permutes + the tiny interface system). Residual
+        all-gathers are the s32 scatter-index arrays of the relpose
+        tile assembly (~3.5 MB at this shape, loop-invariant) — pinned by
+        the total budget below."""
+        from obvi_slam_tpu.parallel.audit import collect_collectives
+
+        mesh = par.make_mesh()
+        if mesh.devices.size < 8:
+            pytest.skip("needs 8 virtual devices")
+        state, _, cams, tables, plan, free, weights, huber = band_problem
+        radius = jnp.asarray(1e4, jnp.float32)
+        step = par.sharded_compute_step(mesh)
+        # Lower under x64-OFF (production TPU semantics): the conftest's
+        # x64 mode changes the partitioner's choices and reintroduces two
+        # f32 tile-batch all-gathers that do not exist in the deployment
+        # lowering (verified with tools/dd_hlo_probe.py both ways).
+        with jax.enable_x64(False):
+            hlo = step.lower(
+                par.replicate(state, mesh),
+                par.replicate(cams, mesh),
+                par.shard_tables(tables, mesh),
+                par.shard_plan(plan, mesh),
+                par.replicate(free, mesh),
+                par.shard_weights(weights, mesh),
+                radius,
+                huber,
+            ).compile().as_text()
+        by_op = collect_collectives(hlo)
+        ag = by_op.get("all-gather", {"shapes": []})["shapes"]
+        total = 0
+        big_f32 = []
+        for s in ag:
+            dims = [int(d) for d in re.findall(r"\d+", s.split("{")[0])]
+            elems = int(np.prod(dims)) if dims else 0
+            total += elems * 4
+            if s.startswith("f32") and elems * 4 > 8 * 384 * 384 * 4:
+                big_f32.append(s)
+        assert not big_f32, (big_f32, ag)
+        assert total < 8e6, (total, ag)

@@ -65,6 +65,12 @@ def main(argv=None):
     parser.add_argument("--platform", default="")
     parser.add_argument("--json_out", default="")
     parser.add_argument("--work_dir", default="")
+    parser.add_argument(
+        "--repeat", type=int, default=1,
+        help="run the CLI session N times IN one subprocess (warm jit "
+        "caches after run 1 — the long-lived-deployment number); phases "
+        "reported are from the LAST run",
+    )
     args = parser.parse_args(argv)
 
     import tempfile
@@ -83,9 +89,7 @@ def main(argv=None):
     write_config(out / "config.json")
     res = out / "results"
 
-    cli_args = [
-        sys.executable,
-        str(REPO / "cli" / "offline_object_visual_slam_main.py"),
+    cli_argv = [
         "--params_config_file", str(out / "config.json"),
         "--intrinsics_file", str(out / "intrinsics.csv"),
         "--extrinsics_file", str(out / "extrinsics.csv"),
@@ -100,14 +104,42 @@ def main(argv=None):
         "--logs_directory", str(res / "logs"),
     ]
     if args.platform:
-        cli_args += ["--platform", args.platform]
+        cli_argv += ["--platform", args.platform]
+    # ONE subprocess running the CLI session --repeat times: run 1 is the
+    # cold-process number, later runs see warm jit caches (the number a
+    # long-lived deployment running sessions back-to-back sees).
+    runner_code = (
+        "import sys, time, json, importlib.util\n"
+        f"sys.path.insert(0, {str(REPO)!r})\n"
+        "from obvi_slam_tpu.timing import TimerRegistry\n"
+        "spec = importlib.util.spec_from_file_location('ovsmain', "
+        f"{str(REPO / 'cli' / 'offline_object_visual_slam_main.py')!r})\n"
+        "m = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(m)\n"
+        f"argv = {cli_argv!r}\n"
+        "walls = []\n"
+        f"for rep in range({max(args.repeat, 1)}):\n"
+        "    TimerRegistry.instance().reset()\n"
+        "    t0 = time.perf_counter()\n"
+        "    rc = m.main(argv)\n"
+        "    walls.append(time.perf_counter() - t0)\n"
+        "    assert rc in (0, None), rc\n"
+        "    print(f'repeat {rep}: {walls[-1]:.1f}s', flush=True)\n"
+        "print('WALLS=' + json.dumps(walls))\n"
+    )
     t0 = time.perf_counter()
-    proc = subprocess.run(cli_args, capture_output=True, text=True)
-    wall = time.perf_counter() - t0
+    proc = subprocess.run(
+        [sys.executable, "-c", runner_code], capture_output=True, text=True
+    )
     if proc.returncode != 0:
         print(proc.stdout[-2000:], file=sys.stderr)
         print(proc.stderr[-4000:], file=sys.stderr)
         raise SystemExit(proc.returncode)
+    walls = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("WALLS=")][-1]
+        [len("WALLS="):]
+    )
+    wall = walls[-1]
 
     # ATE vs ground truth (translation RMSE after node-id sync).
     est = {}
@@ -132,6 +164,9 @@ def main(argv=None):
         "frames": args.frames,
         "wall_s": wall,
         "frames_per_s": args.frames / wall,
+        "repeats": [
+            {"wall_s": w, "fps": args.frames / w} for w in walls
+        ],
         "ate_rmse_transl_m": ate,
         "n_ltm_objects": n_ltm,
         "n_gt_objects": len(gt_objects),

@@ -123,6 +123,13 @@ def main(argv=None):
         )
 
         ag_bytes = by_op.get("all-gather", {}).get("bytes", 0)
+        # r5: the trajectory-domain band solve replaces the replicated CR
+        # path's tile-batch all-gathers with point-to-point halo exchanges
+        # (collective-permute) and small all-to-alls — count them at 1x
+        # payload per link (they move each byte once, unlike ring
+        # all-reduce's 2(N-1)/N).
+        cp_bytes = by_op.get("collective-permute", {}).get("bytes", 0)
+        a2a_bytes = by_op.get("all-to-all", {}).get("bytes", 0)
 
         def eff(n, link_bw):
             # Measured single-chip iteration time when provided (honest:
@@ -134,7 +141,10 @@ def main(argv=None):
                 else total_flops / 2e14  # v5e ~200 Tf/s bf16-effective
             )
             t_comm = (
-                2 * (n - 1) / n * ar_bytes + (n - 1) / n * ag_bytes
+                2 * (n - 1) / n * ar_bytes
+                + (n - 1) / n * ag_bytes
+                + cp_bytes
+                + a2a_bytes
             ) / link_bw
             return t1 / n / (t1 / n + t_comm)
 
@@ -144,6 +154,9 @@ def main(argv=None):
             "n_objects": n_obj,
             "collectives": by_op,
             "all_reduce_bytes_per_iter": ar_bytes,
+            "all_gather_bytes_per_iter": ag_bytes,
+            "permute_bytes_per_iter": cp_bytes,
+            "all_to_all_bytes_per_iter": a2a_bytes,
             "iter_flops": total_flops,
             "flops_per_device": total_flops / n_dev,
             "measured_iter_ms": measured_ms,
