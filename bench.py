@@ -319,6 +319,53 @@ def e2e_bench(timeout_s, extra_args=()):
     return _annotate_runs(result, result["repeats"])
 
 
+def e2e_360_bench(timeout_s):
+    """Reference-length real-data tier: the FULL 360-frame TUM
+    fr2_pioneer_360 consecutive-matching sequence through the production
+    runner (VERDICT r4 #4 — the scale story's band solve / caps staging /
+    session tables only pay off on long sessions). Two in-process repeats
+    (cold + warm)."""
+    out = Path(tempfile.mkdtemp()) / "e2e_360.json"
+    try:
+        subprocess.run(
+            [
+                sys.executable,
+                str(Path(__file__).parent / "tools" / "bench_e2e.py"),
+                "--frames", "360", "--repeat", "2", "--json_out", str(out),
+            ],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+        with open(out) as f:
+            result = json.load(f)
+    except Exception as e:
+        return {"error": type(e).__name__}
+    return _annotate_runs(result, result["repeats"])
+
+
+def sequence_bench(timeout_s):
+    """Multi-session LTM chain tier (BASELINE config 5): three object
+    sessions chained via cli/sequence_executor.py — LTM extraction,
+    next-session seeding, cross-session association (VERDICT r4 #5)."""
+    out = Path(tempfile.mkdtemp()) / "sequence.json"
+    try:
+        subprocess.run(
+            [
+                sys.executable,
+                str(Path(__file__).parent / "tools" / "bench_sequence.py"),
+                "--sessions", "3", "--frames", "20", "--json_out", str(out),
+            ],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+        with open(out) as f:
+            return json.load(f)
+    except Exception as e:
+        return {"error": type(e).__name__}
+
+
 def e2e_objects_bench(timeout_s):
     """Full object-pipeline tier (bb frontend, pending mini-BA, joint BA,
     two-phase, PGO, merge loop, LTM extraction) via the main CLI — the
@@ -456,6 +503,14 @@ def main():
             record, "e2e_objects", 300, e2e_objects_bench,
             min(1500.0, _remaining() - 30),
         )
+        _tier(
+            record, "sequence", 240, sequence_bench,
+            min(900.0, _remaining() - 30),
+        )
+        _tier(
+            record, "e2e_360", 400, e2e_360_bench,
+            min(2400.0, _remaining() - 30),
+        )
 
     # Sidecar mirror (tier details + cpu baseline seed for the next run).
     try:
@@ -499,6 +554,7 @@ def main():
         ("e2e", "e2e_fps"),
         ("e2e_cpu", "e2e_cpu_fps"),
         ("e2e_objects", "e2e_objects_fps"),
+        ("e2e_360", "e2e_360_fps"),
     ):
         tier = record.get(key)
         compact[field] = (

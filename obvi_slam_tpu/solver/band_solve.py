@@ -328,9 +328,231 @@ def woodbury_band_solve(d_tiles, e_tiles, z, rhs, n_refine=1):
     return _woodbury_from_bsolve(b_solve, d_tiles, e_tiles, z, rhs, n_refine)
 
 
+def _dd_shard_map_solve(
+    d_tiles, e_tiles, z, rhs, h, mesh, axis, n_refine, rel_scatter=None,
+    gram_quads=None,
+):
+    """Explicit shard_map version of the domain-decomposed solve: one
+    contiguous tile run per mesh device, every collective written out by
+    hand (the GSPMD partitioner applied to the batched formulation chose
+    multi-MB gathers of y/scatter operands — measured with
+    tools/dd_hlo_probe.py — instead of the partial-sum/psum pattern).
+
+    Cross-device traffic per solve, ALL independent of trajectory length
+    per device: all_gathers of the interface tiles/rhs ((h, 384, k)), the
+    Woodbury C psum (rz^2), and boundary-tile halo ppermutes in the
+    refinement matvec.
+
+    ``rel_scatter``: optional (d_dest, e_dest, pl_r, pl_c, vals) deferred
+    relpose+diagonal tile updates (schur.py band assembly). Applying them
+    INSIDE the shard map keeps the tile batch sharded end-to-end — the
+    at-site scatter forced an all-gather of the whole (nb, 384, 384) tile
+    operand (18.9 MB/iter at 1,024 poses, audited). ``vals`` are ~0.4 MB
+    and ride replicated; each shard applies the updates that land in its
+    tile range (mode="drop" discards the rest)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if gram_quads is not None:
+        # Deferred mode: tiles arrive as raw (G, 6, tp, 6, tp) gram
+        # quadrants; the overlap fold, negation, and relpose scatter all
+        # happen inside the shard bodies (see body).
+        q00, q10, q11 = gram_quads
+        nb = q00.shape[0]
+        m = q00.shape[1] * q00.shape[2]
+        dtype = q00.dtype
+    else:
+        nb, m, _ = d_tiles.shape
+        dtype = d_tiles.dtype
+    nb_l = nb // h
+    rz = z.shape[0]
+    ell = nb_l * m
+
+    if gram_quads is not None:
+        tile_in = tuple(
+            q.reshape(nb, m, m).reshape(h, nb_l, m, m)
+            for q in (q00, q10, q11)
+        )
+    else:
+        e_pad = jnp.concatenate(
+            [e_tiles, jnp.zeros((1, m, m), dtype)], axis=0
+        )
+        tile_in = (
+            d_tiles.reshape(h, nb_l, m, m),
+            e_pad.reshape(h, nb_l, m, m),
+        )
+    z_dom = z.reshape(rz, h, ell)
+    rhs_dom = rhs.reshape(h, ell)
+
+    def body(*args):
+        if gram_quads is not None:
+            q00_s, q10_s, q11_s, z_s, r_s, *scatter_args = args
+            q00_loc, q10_loc, q11_loc = q00_s[0], q10_s[0], q11_s[0]
+        else:
+            d_s, e_s, z_s, r_s, *scatter_args = args
+            d_loc, e_loc = d_s[0], e_s[0]  # (nb_l, m, m)
+        z_loc = z_s[:, 0]  # (rz, ell)
+        r_loc = r_s[0]  # (ell,)
+        idx = jax.lax.axis_index(axis)
+        is_last = idx == h - 1
+        fwd = [(i, i + 1) for i in range(h - 1)]
+        bwd = [(i + 1, i) for i in range(h - 1)]
+        shift_fwd = lambda x: jax.lax.ppermute(x, axis, fwd)
+
+        if gram_quads is not None:
+            # Overlap fold of the gram quadrants, domain-local: tile g's
+            # diagonal sums Q00[g] + Q11[g-1]; only the FIRST tile's term
+            # crosses domains (one (m, m) ppermute). The global pad group's
+            # Q10 (the last domain's last coupling) is dropped, matching
+            # the replicated fold's [:-1] slice.
+            d_loc = q00_loc.at[1:].add(q11_loc[:-1])
+            d_loc = d_loc.at[0].add(shift_fwd(q11_loc[-1]))
+            e_loc = q10_loc.at[-1].multiply(
+                jnp.where(is_last, 0.0, 1.0).astype(dtype)
+            )
+
+        if scatter_args:
+            # Deferred relpose+diag tile updates (see docstring): negate the
+            # gram tiles (S = rel - gram) and apply the updates whose
+            # destination tile falls in this shard's range.
+            d_dest, e_dest, pl_r, pl_c, vals = scatter_args
+            d_loc = -d_loc.reshape(nb_l, 6, m // 6, 6, m // 6)
+            e_loc = -e_loc.reshape(nb_l, 6, m // 6, 6, m // 6)
+            ci = jnp.arange(6)
+            base = idx * nb_l
+
+            def ix(dest):
+                # Out-of-range sentinel instead of dest-base directly:
+                # jnp scatter indices WRAP when negative, so another
+                # shard's update would alias onto a local tile.
+                loc = dest - base
+                loc = jnp.where((loc >= 0) & (loc < nb_l), loc, nb_l)
+                return (
+                    loc[:, None, None],
+                    ci[None, :, None],
+                    pl_r[:, None, None],
+                    ci[None, None, :],
+                    pl_c[:, None, None],
+                )
+
+            d_loc = d_loc.at[ix(d_dest)].add(vals, mode="drop")
+            e_loc = e_loc.at[ix(e_dest)].add(vals, mode="drop")
+            d_loc = d_loc.reshape(nb_l, m, m)
+            e_loc = e_loc.reshape(nb_l, m, m)
+
+        d_if, d_int = d_loc[0], d_loc[1:]
+        e_first = e_loc[0]  # B[int_first, iface_own]
+        e_int = e_loc[1 : nb_l - 1]
+        e_last = e_loc[nb_l - 1]  # B[iface_next, int_last]; zero on last
+        fac = cr_factor(d_int, e_int)
+        gather = lambda x: jax.lax.all_gather(x, axis)
+
+        # Interface-column solves (the B_IG columns of the two neighboring
+        # interfaces) + interface Schur system, replicated-redundant (tiny).
+        # Each shard pre-combines its OWN interface diagonal (the previous
+        # domain's contribution arrives via one (m, m) ppermute) so the
+        # assembly costs TWO (h, m, m) all_gathers, not four.
+        ef_rhs = jnp.zeros((nb_l - 1, m, m), dtype).at[0].set(e_first)
+        el_rhs = jnp.zeros((nb_l - 1, m, m), dtype).at[-1].set(e_last.T)
+        y_fl = cr_solve(fac, jnp.concatenate([ef_rhs, el_rhs], axis=-1))
+        yf, yl = y_fl[..., :m], y_fl[..., m:]
+        sg_own = (
+            d_if
+            - _mm(e_first, yf[0], ta=True)
+            - shift_fwd(_mm(e_last, yl[-1]))
+        )
+        sg_d = gather(sg_own)
+        sg_e = -gather(_mm(e_last, yf[-1]))[: h - 1]
+        l_sd, l_se = block_tridiag_cholesky(sg_d, sg_e)
+
+        def b_solve_loc(v_tiles):  # (nb_l, m, k) -> (nb_l, m, k)
+            k = v_tiles.shape[-1]
+            u = cr_solve(fac, v_tiles[1:])
+            # Pre-combine the previous domain's reduction into the OWN
+            # interface rhs (one (m, k) ppermute) -> ONE (h, m, k) gather.
+            rg = (
+                v_tiles[0]
+                - _mm(e_first, u[0], ta=True)
+                - shift_fwd(_mm(e_last, u[-1]))
+            )
+            rg_all = gather(rg)
+            g = block_tridiag_solve(l_sd, l_se, rg_all)  # (h, m, k)
+            g_own = jnp.take(g, idx, axis=0)
+            g_next = jnp.take(
+                g, jnp.minimum(idx + 1, h - 1), axis=0
+            ) * jnp.where(is_last, 0.0, 1.0).astype(dtype)
+            x_int = u - _mm(yf, g_own) - _mm(yl, g_next)
+            return jnp.concatenate([g_own[None], x_int], axis=0)
+
+        v = jnp.concatenate([r_loc[:, None], z_loc.T], axis=1)
+        y_all = b_solve_loc(v.reshape(nb_l, m, 1 + rz))
+        x0 = y_all[..., 0].reshape(ell)
+        y_loc = y_all[..., 1:].reshape(ell, rz)
+        c = jnp.eye(rz, dtype=dtype) - jax.lax.psum(
+            _mm(z_loc, y_loc), axis
+        )
+        l_c = jax.lax.linalg.cholesky(
+            0.5 * (c + c.T), symmetrize_input=False
+        )
+
+        def s_correct(x):  # (ell,)
+            w = jax.lax.psum(jnp.matmul(z_loc, x, precision=_P_HI), axis)
+            t = solve_triangular(l_c, w, lower=True)
+            t = solve_triangular(l_c, t, lower=True, trans=1)
+            return x + jnp.matmul(y_loc, t, precision=_P_HI)
+
+        def s_matvec(x):  # (ell,) domain-local B x - Z^T Z x with halos
+            xt = x.reshape(nb_l, m, 1)
+            out = jnp.matmul(d_loc, xt, precision=_P_HI)
+            e_in = e_loc[: nb_l - 1]
+            out = out.at[1:].add(
+                jnp.matmul(e_in, xt[:-1], precision=_P_HI)
+            )
+            out = out.at[:-1].add(
+                jnp.matmul(
+                    jnp.swapaxes(e_in, -1, -2), xt[1:], precision=_P_HI
+                )
+            )
+            # Cross-domain halo: my last tile's coupling feeds the NEXT
+            # domain's first tile, and vice versa (non-receiving shards get
+            # zeros from ppermute — exactly the boundary conditions).
+            send_down = jnp.matmul(e_last, xt[-1], precision=_P_HI)
+            out = out.at[0].add(jax.lax.ppermute(send_down, axis, fwd))
+            x_first_next = jax.lax.ppermute(xt[0], axis, bwd)
+            out = out.at[-1].add(
+                jnp.matmul(
+                    jnp.swapaxes(e_last, -1, -2), x_first_next,
+                    precision=_P_HI,
+                )
+            )
+            bx = out.reshape(ell)
+            zx = jax.lax.psum(jnp.matmul(z_loc, x, precision=_P_HI), axis)
+            return bx - jnp.matmul(z_loc.T, zx, precision=_P_HI)
+
+        x = s_correct(x0)
+        for _ in range(n_refine):
+            r = r_loc - s_matvec(x)
+            x = x + s_correct(
+                b_solve_loc(r.reshape(nb_l, m, 1))[..., 0].reshape(ell)
+            )
+        return x[None]
+
+    extra = tuple(rel_scatter) if rel_scatter is not None else ()
+    out = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(P(axis) for _ in tile_in)
+        + (P(None, axis, None), P(axis, None))
+        + tuple(P() for _ in extra),  # scatter updates ride replicated
+        out_specs=P(axis, None),
+        check_vma=False,
+    )(*tile_in, z_dom, rhs_dom, *extra)
+    return out.reshape(nb * m)
+
+
 def dd_woodbury_band_solve(
     d_tiles, e_tiles, z, rhs, n_domains, n_refine=1,
-    shard_mesh=None, shard_axis=None,
+    shard_mesh=None, shard_axis=None, rel_scatter=None, gram_quads=None,
 ):
     """Trajectory-domain-decomposed Woodbury band solve (multi-host path).
 
@@ -358,12 +580,29 @@ def dd_woodbury_band_solve(
     domain axis to mesh devices (XLA then keeps interior work device-local
     and inserts collectives only at the interface/C combines).
     """
-    nb, m, _ = d_tiles.shape
+    nb = (gram_quads[0] if gram_quads is not None else d_tiles).shape[0]
     h = int(n_domains)
     if nb % h != 0 or nb // h < 2:
         raise ValueError(
             f"n_domains={h} needs nb % h == 0 and >=2 tiles/domain (nb={nb})"
         )
+    if (
+        shard_mesh is not None
+        and shard_axis is not None
+        and h == int(shard_mesh.devices.size)
+    ):
+        # One domain per mesh device: run the explicit shard_map version —
+        # hand-written collectives instead of partitioner guesses.
+        return _dd_shard_map_solve(
+            d_tiles, e_tiles, z, rhs, h, shard_mesh, shard_axis, n_refine,
+            rel_scatter=rel_scatter, gram_quads=gram_quads,
+        )
+    if rel_scatter is not None or gram_quads is not None:
+        raise ValueError(
+            "deferred tile updates / gram quadrants require the shard_map "
+            "path: n_domains must equal the mesh device count"
+        )
+    m = d_tiles.shape[1]
     nb_l = nb // h
     dtype = d_tiles.dtype
 

@@ -1397,22 +1397,22 @@ def compute_step(
             if _profile_stop == "ptgram":
                 return sg
             if emit_tiles:
-                # Band-solve mode (solver/band_solve.py): return the
-                # block-tridiagonal tiles directly instead of folding a
-                # dense (6P, 6P) S. Group g's gram covers poses
-                # [64g, 64g+128) -> quadrants land on tiles (g, g),
-                # (g+1, g), (g+1, g+1); consecutive groups overlap only on
-                # the shared diagonal tile (Q11[g] + Q00[g+1]); the pad
-                # tile of the last group (index G) is dropped, exactly as
-                # the dense fold's [:n_pose] slice does.
+                # Band-solve mode (solver/band_solve.py): return the RAW
+                # gram quadrants instead of folding a dense (6P, 6P) S.
+                # Group g's gram covers poses [64g, 64g+128) -> quadrants
+                # land on tiles (g, g), (g+1, g), (g+1, g+1); consecutive
+                # groups overlap only on the shared diagonal tile
+                # (Q11[g] + Q00[g+1]). The overlap fold happens at the
+                # assembly site — immediately on the single-device path, or
+                # INSIDE the shard_map domain bodies on the decomposed path
+                # (the fold's g-1 neighbor dependency otherwise forces the
+                # partitioner to all-gather the whole tile batch).
                 tp_ = _BAND_TP
                 sg6 = sg.reshape(n_group, 6, 2, tp_, 6, 2, tp_)
                 q00 = sg6[:, :, 0, :, :, 0, :]
                 q10 = sg6[:, :, 1, :, :, 0, :]
                 q11 = sg6[:, :, 1, :, :, 1, :]
-                d_tiles = q00.at[1:].add(q11[:-1])  # (G, 6, tp, 6, tp)
-                e_tiles = q10[:-1]  # (G-1, 6, tp, 6, tp): tile (g+1, g)
-                return (d_tiles, e_tiles), zg
+                return (q00, q10, q11), zg
             # The group grams come out in (component, pose)-major order.
             # KEEP that order: the whole reduced system runs c-major under
             # banding (a symmetric permutation — Cholesky/solves are
@@ -1614,6 +1614,7 @@ def compute_step(
 
     s_sub2 = None
     z_pt = z_ob = None
+    band_rel_scatter = None  # deferred tile updates for the shard_map DD
     if dense_schur:
         # Dense-U path. TPU-layout considerations shaping this code:
         # (1) The per-landmark Hll^-1 is folded into U via its Cholesky
@@ -1739,9 +1740,8 @@ def compute_step(
                 # rel_band_local_pose, which guarantees every live relpose
                 # pair spans at most adjacent tiles. The solve itself runs
                 # after the reduced RHS below.
-                d_t5, e_t5 = s_sub2  # (G,6,tp,6,tp), (G-1,6,tp,6,tp)
-                d_t5, e_t5 = -d_t5, -e_t5  # S = (relpose+diag) - pt gram
-                nb_t = d_t5.shape[0]
+                q00, q10, q11 = s_sub2  # (G,6,tp,6,tp) gram quadrants
+                nb_t = q00.shape[0]
                 tp_ = _BAND_TP
                 t_r = rows_blk // tp_
                 t_c = cols_blk // tp_
@@ -1749,22 +1749,38 @@ def compute_step(
                 pl_c = cols_blk % tp_
                 d_dest = jnp.where(t_r == t_c, t_r, nb_t)
                 e_dest = jnp.where(t_r == t_c + 1, t_c, nb_t)
-                ix = (
-                    lambda dest: (
-                        dest[:, None, None],
-                        ci[None, :, None],
-                        pl_r[:, None, None],
-                        ci[None, None, :],
-                        pl_c[:, None, None],
-                    )
-                )
-                d_t5 = d_t5.at[ix(d_dest)].add(vals, mode="drop")
-                e_t5 = e_t5.at[ix(e_dest)].add(vals, mode="drop")
                 m_t = 6 * tp_
-                band_tiles = (
-                    d_t5.reshape(nb_t, m_t, m_t),
-                    e_t5.reshape(nb_t - 1, m_t, m_t),
-                )
+                if _dd_domains(shard_mesh, nb_t) == (
+                    int(shard_mesh.devices.size) if shard_mesh is not None
+                    else 0
+                ):
+                    # shard_map DD solve below: DEFER the quadrant fold AND
+                    # this scatter into the shard bodies so the tile batch
+                    # never re-gathers (the fold's g-1 overlap + the at-site
+                    # scatter cost 18.9 MB/iter of operand all-gather at
+                    # 1,024 poses, audited r5). The quadrants stay POSITIVE
+                    # grams; negation happens with the deferred updates.
+                    band_rel_scatter = (d_dest, e_dest, pl_r, pl_c, vals)
+                    band_tiles = (q00, q10, q11)
+                else:
+                    d_t5 = q00.at[1:].add(q11[:-1])
+                    e_t5 = q10[:-1]
+                    d_t5, e_t5 = -d_t5, -e_t5  # S = (rel+diag) - pt gram
+                    ix = (
+                        lambda dest: (
+                            dest[:, None, None],
+                            ci[None, :, None],
+                            pl_r[:, None, None],
+                            ci[None, None, :],
+                            pl_c[:, None, None],
+                        )
+                    )
+                    d_t5 = d_t5.at[ix(d_dest)].add(vals, mode="drop")
+                    e_t5 = e_t5.at[ix(e_dest)].add(vals, mode="drop")
+                    band_tiles = (
+                        d_t5.reshape(nb_t, m_t, m_t),
+                        e_t5.reshape(nb_t - 1, m_t, m_t),
+                    )
                 s4 = None
                 if _profile_stop == "bandtiles":
                     return _profile_exit(
@@ -1964,8 +1980,7 @@ def compute_step(
         # flattening the band tiles use; delta permutes back. Iterative
         # refinement runs inside woodbury_band_solve (same role as the
         # dense path's refinement step below).
-        d_tiles, e_tiles = band_tiles
-        nb_t = d_tiles.shape[0]
+        nb_t = band_tiles[0].shape[0]
         tp_ = _BAND_TP
         m_t = 6 * tp_
         rhs_band = (
@@ -1977,18 +1992,27 @@ def compute_step(
             .reshape(z_ob.shape[0], nb_t * m_t)
         )
         n_dom = _dd_domains(shard_mesh, nb_t)
-        if n_dom > 1:
+        if band_rel_scatter is not None:
             # Trajectory-domain decomposition (multi-host/multi-device):
             # contiguous tile runs per device, interiors solved batched and
             # device-local, only the tiny interface Schur system + the
             # Woodbury C combine cross the interconnect. The replicated CR
             # path all-gathered 33.8 MB/iter of level batches over DCN at
-            # the 1,024-pose tier (SCALING_r04).
+            # the 1,024-pose tier (SCALING_r04). Tiles arrive as deferred
+            # gram quadrants + relpose updates (see the assembly comment).
+            delta_band = band_solve_mod.dd_woodbury_band_solve(
+                None, None, z_band, rhs_band, n_domains=n_dom,
+                shard_mesh=shard_mesh, shard_axis=shard_axis,
+                rel_scatter=band_rel_scatter, gram_quads=band_tiles,
+            )
+        elif n_dom > 1:
+            d_tiles, e_tiles = band_tiles
             delta_band = band_solve_mod.dd_woodbury_band_solve(
                 d_tiles, e_tiles, z_band, rhs_band, n_domains=n_dom,
                 shard_mesh=shard_mesh, shard_axis=shard_axis,
             )
         else:
+            d_tiles, e_tiles = band_tiles
             delta_band = band_solve_mod.woodbury_band_solve(
                 d_tiles, e_tiles, z_band, rhs_band
             )

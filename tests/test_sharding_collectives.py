@@ -141,26 +141,31 @@ class TestTrajectoryDomainDecomposition:
         assert rel < 5e-3, rel
 
     @pytest.mark.slow
-    def test_dd_no_tile_batch_allgather(self, band_problem):
-        """The decomposed solve must not all-gather f32 tile-batch operands
-        (the r4 failure mode: the replicated CR path's multi-MB level-batch
-        all-gathers; the DD path's cross-domain traffic is halo
-        collective-permutes + the tiny interface system). Residual
-        all-gathers are the s32 scatter-index arrays of the relpose
-        tile assembly (~3.5 MB at this shape, loop-invariant) — pinned by
-        the total budget below."""
+    def test_dd_shard_map_collective_budget(self):
+        """At the reference 1,024-pose scale (16 tiles, one 2-tile domain
+        per device -> the explicit shard_map path), the step's all-gather
+        volume must stay within the DD design budget: the interface Schur
+        system ((h, 384, 384) x2), the interface multi-RHS ((h, 384,
+        1+rz)), and small change — NOT the replicated CR path's tile-batch
+        level all-gathers (33.8 MB/iter in SCALING_r04) nor the
+        partitioner's scatter-index gathers (54 MB/iter before the
+        deferred in-body assembly)."""
         from obvi_slam_tpu.parallel.audit import collect_collectives
 
         mesh = par.make_mesh()
         if mesh.devices.size < 8:
             pytest.skip("needs 8 virtual devices")
-        state, _, cams, tables, plan, free, weights, huber = band_problem
+        p = synthetic_problem(
+            n_poses=1024, n_points=8192, n_objects=64,
+            obs_per_point=6, obs_per_object=12, dtype=np.float32,
+        )
+        state, _, cams, tables, plan, free, weights, huber = p
+        assert plan.pt_band_local_pose is not None
         radius = jnp.asarray(1e4, jnp.float32)
         step = par.sharded_compute_step(mesh)
         # Lower under x64-OFF (production TPU semantics): the conftest's
-        # x64 mode changes the partitioner's choices and reintroduces two
-        # f32 tile-batch all-gathers that do not exist in the deployment
-        # lowering (verified with tools/dd_hlo_probe.py both ways).
+        # x64 mode changes the partitioner's choices (verified with
+        # tools/dd_hlo_probe.py both ways).
         with jax.enable_x64(False):
             hlo = step.lower(
                 par.replicate(state, mesh),
@@ -173,14 +178,17 @@ class TestTrajectoryDomainDecomposition:
                 huber,
             ).compile().as_text()
         by_op = collect_collectives(hlo)
+        assert "all-gather" in by_op or "all_gather" in hlo
         ag = by_op.get("all-gather", {"shapes": []})["shapes"]
         total = 0
         big_f32 = []
         for s in ag:
-            dims = [int(d) for d in re.findall(r"\d+", s.split("{")[0])]
+            m = re.match(r"\w+\[([0-9,]*)\]", s)
+            dims = [int(d) for d in m.group(1).split(",") if d] if m else []
             elems = int(np.prod(dims)) if dims else 0
             total += elems * 4
-            if s.startswith("f32") and elems * 4 > 8 * 384 * 384 * 4:
+            # Nothing bigger than the (h, 384, 1+rz) interface multi-RHS.
+            if s.startswith("f32") and elems * 4 > 8 * 384 * 512 * 4:
                 big_f32.append(s)
         assert not big_f32, (big_f32, ag)
-        assert total < 8e6, (total, ag)
+        assert total < 20e6, (total, ag)

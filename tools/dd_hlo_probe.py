@@ -29,7 +29,7 @@ schur_mod._BAND_SOLVE_MIN_POSES = 256
 mesh = par.make_mesh()
 print("devices:", mesh.devices.size)
 p = synthetic_problem(
-    n_poses=512, n_points=4096, n_objects=16,
+    n_poses=int(os.environ.get("PROBE_POSES", "512")), n_points=int(os.environ.get("PROBE_POSES", "512"))*8, n_objects=int(os.environ.get("PROBE_OBJS", "16")),
     obs_per_point=6, obs_per_object=12, dtype=np.float32,
 )
 state, _, cams, tables, plan, free, weights, huber = p
