@@ -320,21 +320,26 @@ def main(argv=None):
 
         from obvi_slam_tpu.ltm import warm_marginal_covariance_program
 
-        runner.presize_session_caps(data, max_frame)
         # Dummy problem built HERE (pg is mutated by the frame loop); only
-        # the compile itself runs in the background.
-        _compile_ltm = warm_marginal_covariance_program(
-            pg, config, dict(runner.caps_pool("global"))
-        )
+        # the compile itself runs in the background. The whole warmup —
+        # including the build — is best-effort: a failure must degrade to a
+        # cold extraction, never kill the session.
+        try:
+            runner.presize_session_caps(data, max_frame)
+            _compile_ltm = warm_marginal_covariance_program(
+                pg, config, dict(runner.caps_pool("global"))
+            )
 
-        def _warm():
-            try:
-                _compile_ltm()
-            except Exception as e:  # never let warmup kill the run
-                logger.warning("LTM program warmup failed: %s", e)
+            def _warm():
+                try:
+                    _compile_ltm()
+                except Exception as e:  # never let warmup kill the run
+                    logger.warning("LTM program warmup failed: %s", e)
 
-        ltm_warm_thread = threading.Thread(target=_warm, daemon=True)
-        ltm_warm_thread.start()
+            ltm_warm_thread = threading.Thread(target=_warm, daemon=True)
+            ltm_warm_thread.start()
+        except Exception as e:
+            logger.warning("LTM warmup setup failed: %s", e)
 
     if args.profile_trace_dir:
         os.makedirs(args.profile_trace_dir, exist_ok=True)

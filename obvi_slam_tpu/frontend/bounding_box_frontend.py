@@ -519,23 +519,27 @@ class FeatureBasedBoundingBoxFrontEnd:
         )
         import jax
 
+        from obvi_slam_tpu import optlog
+
         lm_params = lm_params_from_config(est_params.solver_params)
         if jax.default_backend() != "cpu":
             # Fused on-device loop: the host LM loop dispatches per
             # iteration, which through the remote-TPU tunnel costs ~30-50 ms
-            # per round trip x ~30 iterations per mini-BA.
+            # per round trip x ~30 iterations per mini-BA. Per-iteration
+            # records ride along only when the iteration logger is active
+            # (so TPU sessions emit the same per-iteration CSVs as CPU).
             from obvi_slam_tpu.solver import lm_fused
 
             new_state, est_summary = lm_fused.solve_fused(
                 state, cams, tables, plan, free,
                 params=lm_params, huber=huber,
+                with_records=optlog.IterationLoggerFactory.instance().enabled,
             )
         else:
             new_state, est_summary = slv.solve(
                 state, cams, tables, plan, free,
                 params=lm_params, huber=huber,
             )
-        from obvi_slam_tpu import optlog
 
         optlog.IterationLoggerFactory.instance().log_iterations(
             optlog.PENDING_ESTIMATOR_TYPE,

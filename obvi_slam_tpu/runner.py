@@ -283,8 +283,12 @@ class OfflineProblemRunner:
             except AttributeError:
                 min_obs = 1
             n_obj = max(1, bbs // min_obs)
-            # One-object worst case for the per-object cross pairs, capped
-            # by each object being seen at most once per frame per camera.
+            # One-object worst case for the per-object cross pairs. The
+            # plan dedups (pose, object) PAIRS, so each object contributes
+            # at most n_frames+1 pairs regardless of camera count, and
+            # sum(pairs_o^2) <= sum(pairs_o) * max(pairs_o)
+            #              <= bbs * (n_frames + 1)
+            # (pairs_o <= bbs_o holds since every pair needs >= 1 raw box).
             ob_cross = min(bbs * bbs, bbs * (n_frames + 1))
             seed.update(
                 {

@@ -353,6 +353,11 @@ def _dd_shard_map_solve(
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
+    if (gram_quads is not None) != (rel_scatter is not None):
+        # The negation of the gram tiles (S = rel - gram) is fused into the
+        # scatter-update branch; accepting one without the other would
+        # silently solve a wrong-sign system.
+        raise ValueError("gram_quads and rel_scatter must be passed together")
     if gram_quads is not None:
         # Deferred mode: tiles arrive as raw (G, 6, tp, 6, tp) gram
         # quadrants; the overlap fold, negation, and relpose scatter all
@@ -589,6 +594,7 @@ def dd_woodbury_band_solve(
     if (
         shard_mesh is not None
         and shard_axis is not None
+        and h > 1
         and h == int(shard_mesh.devices.size)
     ):
         # One domain per mesh device: run the explicit shard_map version —

@@ -1750,9 +1750,9 @@ def compute_step(
                 d_dest = jnp.where(t_r == t_c, t_r, nb_t)
                 e_dest = jnp.where(t_r == t_c + 1, t_c, nb_t)
                 m_t = 6 * tp_
-                if _dd_domains(shard_mesh, nb_t) == (
-                    int(shard_mesh.devices.size) if shard_mesh is not None
-                    else 0
+                _n_dom_assembly = _dd_domains(shard_mesh, nb_t)
+                if _n_dom_assembly > 1 and _n_dom_assembly == int(
+                    shard_mesh.devices.size
                 ):
                     # shard_map DD solve below: DEFER the quadrant fold AND
                     # this scatter into the shard bodies so the tile batch

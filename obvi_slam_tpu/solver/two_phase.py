@@ -68,7 +68,13 @@ def _outlier_mask(sq, live, pct):
     rank = jnp.zeros_like(order).at[order].set(
         jnp.arange(order.shape[0], dtype=order.dtype)
     )
-    n_out = jnp.floor(jnp.sum(live) * pct).astype(jnp.int32)
+    # Pin the count product to f32 regardless of the ambient dtype: the
+    # host pass (runner.py) computes int(floor(f32(n_live) * f32(pct))),
+    # and under x64 an f64 product here could floor differently for
+    # near-integer n_live * pct.
+    n_out = jnp.floor(
+        jnp.sum(live).astype(jnp.float32) * jnp.float32(pct)
+    ).astype(jnp.int32)
     return live & (rank < n_out)
 
 
