@@ -68,6 +68,9 @@ for op, d in sorted(by_op.items()):
     from collections import Counter
 
     for s, c in Counter(d["shapes"]).most_common():
-        dims = [int(x) for x in __import__("re").findall(r"\d+", s)]
-        nbytes = int(np.prod(dims)) * (4 if not s.startswith("pred") else 1)
+        m = __import__("re").match(r"\w+\[([0-9,]*)\]", s)
+        dims = [int(x) for x in m.group(1).split(",") if x] if m else []
+        nbytes = (int(np.prod(dims)) if dims else 0) * (
+            4 if not s.startswith("pred") else 1
+        )
         print(f"   {s} x{c}  ({nbytes/1e6:.2f} MB each)")
